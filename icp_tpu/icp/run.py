@@ -1,0 +1,89 @@
+"""Iterate-to-convergence driver — the reference's ``ICP<CR, CW>`` class.
+
+The reference loop runs on the host: ``run()`` = first step +
+``while (check()) step`` + queue.finish (src/ICP/algorithms.cpp:4806-4814),
+with ``check()`` stopping at ``max_iterations`` or when the incremental
+rotation angle and translation both drop below their thresholds
+(cpp:4823-4834). Here the loop is a ``lax.while_loop`` INSIDE jit: the
+entire registration — up to 40 iterations of search + reduction + rotation
+solve — is one device dispatch with no host synchronization at all, which is
+the key structural win over the reference (SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+from icp_tpu.icp.quaternion import qangle_deg
+from icp_tpu.icp.state import ICPState, identity_state
+from icp_tpu.icp.step import icp_step
+from icp_tpu.ops.sampling import sample_representatives
+from icp_tpu.rbc.construct import RBCIndex, rbc_construct
+from icp_tpu.runtime.config import Correspondence, ICPConfig, ICPParams
+
+
+def converged(state: ICPState, params: ICPParams) -> jnp.ndarray:
+    """Reference ``ICP::check`` convergence test (cpp:4823-4834).
+
+    delta_angle = 180/pi * 2 * atan2(|qk_vec|, qk_w) in degrees;
+    delta_translation = |t_k|. Converged when both are below threshold.
+    """
+    delta_angle = qangle_deg(state.qk)
+    delta_t = jnp.linalg.norm(state.tk)
+    return jnp.logical_and(
+        delta_angle < params.angle_threshold_deg,
+        delta_t < params.translation_threshold,
+    )
+
+
+def icp_run(moving8: jnp.ndarray, target: Union[RBCIndex, jnp.ndarray],
+            params: ICPParams, config: ICPConfig,
+            init: ICPState | None = None) -> ICPState:
+    """Run ICP to convergence (device-resident loop).
+
+    Semantics match the reference: at least one iteration; stop after
+    ``max_iterations`` total or when the last increment is below both
+    thresholds.
+    """
+    state = identity_state(moving8.dtype) if init is None else init
+
+    def cond(s: ICPState):
+        not_done = jnp.logical_not(converged(s, params))
+        return jnp.logical_and(s.k < config.max_iterations,
+                               jnp.logical_or(s.k == 0, not_done))
+
+    def body(s: ICPState):
+        return icp_step(s, moving8, target, params, config)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def build_index(fixed8: jnp.ndarray, params: ICPParams,
+                config: ICPConfig) -> RBCIndex:
+    """Representative sampling + RBC construction over the fixed landmarks.
+
+    Mirrors ``ICPStep::buildRBC`` = fReps.run() + rbcC.run()
+    (reference cpp:3445-3450).
+    """
+    reps = sample_representatives(fixed8, config.n_r, config.rep_grid)
+    return rbc_construct(fixed8, reps, params.alpha, config.bin_capacity)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def register(fixed8: jnp.ndarray, moving8: jnp.ndarray,
+             params: ICPParams, config: ICPConfig) -> ICPState:
+    """Full registration entry point — the ``ICPReg::registerPC`` equivalent
+    (reference src/ocl_icp_reg.cpp:165-207): build the RBC over the fixed
+    landmarks, run ICP to convergence, return the accumulated transform.
+
+    One jit dispatch end to end.
+    """
+    if config.correspondence is Correspondence.RBC:
+        target: Union[RBCIndex, jnp.ndarray] = build_index(fixed8, params, config)
+    else:
+        target = fixed8
+    return icp_run(moving8, target, params, config)

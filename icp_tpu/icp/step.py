@@ -1,0 +1,95 @@
+"""One ICP iteration — the reference's ``ICPStep<CR, CW>::run`` as a single
+traced function.
+
+The reference wires nine kernel launches per iteration and round-trips
+8-19 floats through the host every iteration for the rotation solve and the
+T write-back (src/ICP/algorithms.cpp:3460-3501 EIGEN, 4269-4296 POWER — the
+"DEVICE->HOST SYNC" in SURVEY.md §3.1). Here the entire iteration — including
+the rotation solve — is device-resident XLA, so iterations chain inside a
+``lax.while_loop`` with zero host traffic.
+
+Dataflow per iteration (both variants):
+
+    transform(moving, acc) -> NN search -> [weights] -> centroids
+    -> deviations -> S matrix -> rotation solve -> accumulate
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import jax.numpy as jnp
+
+from icp_tpu.icp.horn import solve_step_transform
+from icp_tpu.icp.quaternion import qmul, qnormalize, qrotate, transform_points
+from icp_tpu.icp.state import ICPState
+from icp_tpu.ops.distance import nearest_neighbor_brute
+from icp_tpu.ops.moments import (
+    centroids,
+    compute_weights,
+    deviations,
+    masked_weight_sum,
+    s_matrix,
+)
+from icp_tpu.rbc.construct import RBCIndex
+from icp_tpu.rbc.search import rbc_search
+from icp_tpu.runtime.config import Correspondence, ICPConfig, ICPParams, RotationMode, Weighting
+
+
+def _find_correspondences(tm: jnp.ndarray, target: Union[RBCIndex, jnp.ndarray],
+                          params: ICPParams, config: ICPConfig):
+    """NN search: (matched_fixed (m, 8), nn_dist (m,))."""
+    if config.correspondence is Correspondence.RBC:
+        assert isinstance(target, RBCIndex), "RBC mode needs an RBCIndex"
+        res = rbc_search(target, tm, params.alpha, config.query_capacity)
+        return target.db[res.nn_id], res.nn_dist
+    db = target.db if isinstance(target, RBCIndex) else target
+    nn_idx, nn_dist = nearest_neighbor_brute(tm, db, params.alpha)
+    return db[nn_idx], nn_dist
+
+
+def icp_step(state: ICPState, moving8: jnp.ndarray,
+             target: Union[RBCIndex, jnp.ndarray],
+             params: ICPParams, config: ICPConfig) -> ICPState:
+    """Run one ICP iteration and return the updated state.
+
+    Args:
+      state: accumulated transform state.
+      moving8: (m, 8) ORIGINAL moving landmarks (the accumulated transform is
+        re-applied from scratch each iteration, exactly like the reference's
+        transform kernel reading D_IN_M with the accumulated T).
+      target: RBCIndex (RBC mode) or (n, 8) fixed landmarks (brute mode).
+      params: dynamic scalars.
+      config: static configuration.
+    """
+    # 1. Transform the moving set by the accumulated similarity.
+    tm = transform_points(moving8, state.q, state.t, state.s)
+
+    # 2. Correspondence search.
+    matched_f, nn_dist = _find_correspondences(tm, target, params, config)
+
+    # 3. Optional residual weighting (reference icpComputeReduceWeights).
+    if config.weighting is Weighting.WEIGHTED:
+        w = compute_weights(nn_dist)
+        sum_w = masked_weight_sum(w)
+    else:
+        w, sum_w = None, None
+
+    # 4-5. Centroids and deviations.
+    mean_f, mean_m = centroids(matched_f, tm, w, sum_w)
+    dev_f = deviations(matched_f, mean_f)
+    dev_m = deviations(tm, mean_m)
+
+    # 6. Cross-covariance + scale constituents, then the rotation solve.
+    S11 = s_matrix(dev_m, dev_f, params.c, w)
+    qk, tk, sk = solve_step_transform(
+        S11, mean_f, mean_m,
+        use_power=config.rotation is RotationMode.POWER,
+    )
+
+    # 7. Accumulate (reference cpp:3491-3494):
+    #    R = R_k R;  t = s_k R_k t + t_k;  s = s_k s.
+    q = qnormalize(qmul(qk, state.q))
+    t = sk * qrotate(qk, state.t) + tk
+    s = sk * state.s
+    return ICPState(q=q, t=t, s=s, qk=qk, tk=tk, sk=sk, k=state.k + 1)

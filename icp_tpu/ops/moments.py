@@ -1,0 +1,130 @@
+"""Per-iteration statistical reductions: weights, centroids, deviations, S.
+
+These replace the reference's two-phase local-memory reduction kernels
+(``icpComputeReduceWeights``, ``icpMean``, ``icpMean_Weighted``, ``icpGMean``,
+``icpSubtractMean``, ``icpSijProducts[_Weighted]``, reference
+kernels/icp_kernels.cl:138-743) with fused XLA reductions. The
+cross-covariance is formulated as a (3, m) x (m, 3) matmul so it runs on the
+MXU, and every function takes an optional validity mask so the same code
+serves the padded RBC path and sharded execution (where each shard reduces
+its slice and the partials are ``psum``-ed — see icp_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def compute_weights(dists: jnp.ndarray) -> jnp.ndarray:
+    """Correspondence weights ``w_i = 100 / (100 + d_i)``.
+
+    ``d_i`` is the blended squared NN distance produced by the search (the
+    reference feeds the ``rbc_dist_id.dist`` field straight in,
+    kernels/icp_kernels.cl:158).
+    """
+    return 100.0 / (100.0 + dists)
+
+
+def masked_weight_sum(weights: jnp.ndarray,
+                      mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Sum of weights (the reference promotes to f64 in ``reduce_sum_fd``;
+    XLA:TPU accumulates f32 with pairwise trees, which is comparably safe for
+    n = 16384)."""
+    if mask is not None:
+        weights = jnp.where(mask, weights, 0.0)
+    return jnp.sum(weights)
+
+
+def centroids(fixed8: jnp.ndarray, moving8: jnp.ndarray,
+              weights: Optional[jnp.ndarray] = None,
+              sum_w: Optional[jnp.ndarray] = None,
+              mask: Optional[jnp.ndarray] = None):
+    """Fused xyz centroids of the matched fixed and moving sets.
+
+    Regular mode mirrors ``icpMean`` (divide by n before reducing,
+    kernels/icp_kernels.cl:370-411); weighted mode mirrors
+    ``icpMean_Weighted`` (reduce (w_i / sum_w) * x_i,
+    kernels/icp_kernels.cl:454-495).
+
+    Args:
+      fixed8: (n, 8) matched fixed points (NN results).
+      moving8: (n, 8) transformed moving points.
+      weights: optional (n,) weights.
+      sum_w: optional precomputed sum of weights (required with weights).
+      mask: optional (n,) validity mask for padded layouts.
+    Returns:
+      (mean_f (3,), mean_m (3,)).
+    """
+    f = fixed8[..., :3]
+    m = moving8[..., :3]
+    if weights is None:
+        if mask is None:
+            n = jnp.asarray(f.shape[0], f.dtype)
+            return jnp.sum(f, 0) / n, jnp.sum(m, 0) / n
+        valid = mask.astype(f.dtype)
+        n = jnp.maximum(jnp.sum(valid), 1.0)
+        return (jnp.sum(f * valid[:, None], 0) / n,
+                jnp.sum(m * valid[:, None], 0) / n)
+    w = weights if mask is None else jnp.where(mask, weights, 0.0)
+    wn = (w / sum_w)[:, None]
+    return jnp.sum(f * wn, 0), jnp.sum(m * wn, 0)
+
+
+def deviations(points8: jnp.ndarray, mean3: jnp.ndarray) -> jnp.ndarray:
+    """xyz deviations from a centroid; drops the photometric half.
+
+    Mirrors ``icpSubtractMean`` (kernels/icp_kernels.cl:587-602).
+    """
+    return points8[..., :3] - mean3
+
+
+def s_matrix(dev_m: jnp.ndarray, dev_f: jnp.ndarray, c,
+             weights: Optional[jnp.ndarray] = None,
+             mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """The 11-vector of cross-covariance sums and scale constituents.
+
+    Matches the ``icpSijProducts[_Weighted]`` + ``reduce_sum_f`` chain
+    (kernels/icp_kernels.cl:632-743):
+
+        S11[3i+j] = sum_k w_k (c * m_dev[k, i]) (c * f_dev[k, j])
+        S11[9]    = sum_k w_k |c * f_dev[k]|^2
+        S11[10]   = sum_k w_k |c * m_dev[k]|^2
+
+    The ``c`` factor (default 1e-6) guards f32 range on millimeter-scale
+    data; eigenvectors are unchanged and s_k = sqrt(S9/S10) cancels it.
+
+    TPU-first: the 3x3 block is one (3, m) x (m, 3) matmul on the MXU.
+
+    Args:
+      dev_m: (n, 3) moving-set deviations.
+      dev_f: (n, 3) fixed-set deviations.
+      c: scaling factor (traced scalar ok).
+      weights: optional (n,) weights (raw, not normalized — ref semantics).
+      mask: optional (n,) validity mask.
+    Returns:
+      (11,) S vector.
+    """
+    cm = dev_m * c
+    cf = dev_f * c
+    if weights is not None:
+        w = weights if mask is None else jnp.where(mask, weights, 0.0)
+    elif mask is not None:
+        w = mask.astype(cm.dtype)
+    else:
+        w = None
+
+    hi = jax.lax.Precision.HIGHEST  # full-f32 MXU passes; bf16 would lose
+    # the small cross-covariance signal of nearly-converged iterations.
+    if w is None:
+        S3 = jnp.dot(cm.T, cf, precision=hi)  # S3[i, j] = sum m_i f_j
+        ff = jnp.sum(cf * cf)
+        mm = jnp.sum(cm * cm)
+    else:
+        wm = cm * w[:, None]
+        S3 = jnp.dot(wm.T, cf, precision=hi)
+        ff = jnp.sum(w * jnp.sum(cf * cf, axis=-1))
+        mm = jnp.sum(w * jnp.sum(cm * cm, axis=-1))
+    return jnp.concatenate([S3.reshape(9), jnp.stack([ff, mm])])

@@ -1,0 +1,95 @@
+"""Landmark and representative samplers.
+
+Pure strided gathers — the reference implements these as tiny device kernels
+(``getLMs``, ``getReps``; kernels/icp_kernels.cl:62-114) because its data
+lives in OpenCL buffers; under XLA they are static gathers that fuse into
+whatever consumes them.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Kinect VGA geometry hard-coded throughout the reference
+# (kernels/icp_kernels.cl:41-57).
+IMAGE_WIDTH = 640
+IMAGE_HEIGHT = 480
+LM_GRID = 128  # landmarks form a 128 x 128 grid -> 16384 points
+
+
+def get_landmarks(cloud8: jnp.ndarray) -> jnp.ndarray:
+    """Sample a 640x480 cloud for the 128x128 landmark grid.
+
+    Mirrors ``getLMs`` (reference kernels/icp_kernels.cl:62-76): from the
+    center 512x384 region, stride 4 in x (offset 1) and 3 in y (offset 1):
+
+        landmark[r, l] = cloud[48 + 3r + 1, 64 + 4l + 1]
+
+    Invalid (all-zero) points pass through; downstream weighting handles
+    them, as in the reference.
+
+    Args:
+      cloud8: (480, 640, 8) or (307200, 8) point cloud.
+    Returns:
+      (16384, 8) landmarks in row-major 128x128 grid order.
+    """
+    img = cloud8.reshape(IMAGE_HEIGHT, IMAGE_WIDTH, 8)
+    rows = 48 + 3 * jnp.arange(LM_GRID) + 1
+    cols = 64 + 4 * jnp.arange(LM_GRID) + 1
+    lms = img[rows[:, None], cols[None, :]]  # (128, 128, 8)
+    return lms.reshape(LM_GRID * LM_GRID, 8)
+
+
+def get_representatives(landmarks8: jnp.ndarray, n_ry: int, n_rx: int) -> jnp.ndarray:
+    """Sample the 128x128 landmark grid for representatives.
+
+    Mirrors ``getReps`` (reference kernels/icp_kernels.cl:96-114): stride
+    128/n_r per axis with a centered offset (step/2 - 1):
+
+        rep[ry, rx] = lms[ry * stepY + stepY/2 - 1, rx * stepX + stepX/2 - 1]
+
+    Args:
+      landmarks8: (16384, 8) landmarks in 128x128 row-major order.
+      n_ry, n_rx: representative grid (see ``ICPConfig.rep_grid``; for
+        n_r = 256 this is 16 x 16, per reference cpp:852-854).
+    Returns:
+      (n_ry * n_rx, 8) representatives.
+    """
+    grid = landmarks8.reshape(LM_GRID, LM_GRID, 8)
+    step_x = LM_GRID // n_rx
+    step_y = LM_GRID // n_ry
+    ys = jnp.arange(n_ry) * step_y + (step_y // 2) - 1
+    xs = jnp.arange(n_rx) * step_x + (step_x // 2) - 1
+    reps = grid[ys[:, None], xs[None, :]]
+    return reps.reshape(n_ry * n_rx, 8)
+
+
+def sample_representatives(points8: jnp.ndarray, n_r: int,
+                           grid: tuple[int, int] | None = None) -> jnp.ndarray:
+    """Representative sampling for an arbitrary-sized landmark set.
+
+    For the canonical 16384-landmark grid this defers to
+    :func:`get_representatives` (exact reference semantics). For other sizes
+    it applies the 1-D analog of the same rule: stride n/n_r with a centered
+    offset (step/2 - 1).
+    """
+    n = points8.shape[0]
+    if n == LM_GRID * LM_GRID and grid is not None:
+        return get_representatives(points8, *grid)
+    step = n // n_r
+    idx = jnp.arange(n_r) * step + max(step // 2 - 1, 0)
+    return points8[idx]
+
+
+def representative_landmark_indices(n_ry: int, n_rx: int) -> jnp.ndarray:
+    """Landmark-grid flat indices of the sampled representatives.
+
+    Each representative IS a landmark (getReps samples the landmark set), so
+    its index in the 16384-landmark array is statically known. Used by the
+    RBC search overflow fallback.
+    """
+    step_x = LM_GRID // n_rx
+    step_y = LM_GRID // n_ry
+    ys = jnp.arange(n_ry) * step_y + (step_y // 2) - 1
+    xs = jnp.arange(n_rx) * step_x + (step_x // 2) - 1
+    return (ys[:, None] * LM_GRID + xs[None, :]).reshape(-1).astype(jnp.int32)

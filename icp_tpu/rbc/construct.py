@@ -1,0 +1,87 @@
+"""Random-Ball-Cover construction over the fixed set.
+
+Re-designs the reference's ``RBC::RBCConstruct<KINECT_R, GENERIC>`` (external
+RandomBallCover dependency; usage at reference src/ICP/algorithms.cpp:
+3316-3343, memory slots D_IN_X / D_IN_R / D_OUT_X_P / D_OUT_O / D_OUT_N):
+
+  1. point -> representative blended 8-D distances,
+  2. each point assigned to its nearest representative,
+  3. per-representative counts and offsets (count + exclusive scan),
+  4. database permuted into bin-major order.
+
+TPU-first: step 1 is one (n, 8) x (8, n_r) matmul on the MXU (see
+icp_tpu.ops.distance); steps 3-4 are the fixed-capacity grouping of
+icp_tpu.rbc.grouping. The padded (n_r, capacity, 8) bin tensor makes the
+search a batched matmul.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from icp_tpu.ops.distance import pairwise_sq_dists
+from icp_tpu.rbc.grouping import GroupLayout, group_by_bin
+
+
+class RBCIndex(NamedTuple):
+    """The RBC data structure over the fixed set.
+
+    Attributes:
+      reps: (n_r, 8) representatives.
+      rep_db_ids: (n_r,) database index nearest to each representative (== the
+        representative itself when reps are sampled from the database, as the
+        pipeline does — ``getReps`` samples landmarks). Used as the search's
+        overflow/empty-bin fallback match.
+      db: (n, 8) the original database (fixed landmarks).
+      rep_id: (n,) nearest-representative assignment per database point.
+      layout: fixed-capacity bin-major grouping of the database.
+      bins: (n_r, capacity, 8) padded per-representative point bins.
+      bin_ids: (n_r, capacity) original database index per bin slot.
+      bin_mask: (n_r, capacity) slot validity.
+    """
+
+    reps: jnp.ndarray
+    rep_db_ids: jnp.ndarray
+    db: jnp.ndarray
+    rep_id: jnp.ndarray
+    layout: GroupLayout
+    bins: jnp.ndarray
+    bin_ids: jnp.ndarray
+    bin_mask: jnp.ndarray
+
+
+def rbc_construct(db: jnp.ndarray, reps: jnp.ndarray, alpha,
+                  capacity: int) -> RBCIndex:
+    """Build the RBC structure.
+
+    Args:
+      db: (n, 8) fixed-set landmarks.
+      reps: (n_r, 8) representatives.
+      alpha: photometric blend weight of the 8-D metric.
+      capacity: static per-bin capacity (ICPConfig.bin_capacity). Database
+        points whose within-bin rank exceeds it are dropped from their bin
+        (vanishingly rare at the default 4x mean occupancy; they remain in
+        ``db``/``rep_id`` for diagnostics).
+    Returns:
+      RBCIndex pytree.
+    """
+    d2 = pairwise_sq_dists(db, reps, alpha)  # (n, n_r) on the MXU
+    rep_id = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    # Nearest database point per representative — distance-0 self-match when
+    # the representative is a database point.
+    rep_db_ids = jnp.argmin(d2, axis=0).astype(jnp.int32)
+
+    layout = group_by_bin(rep_id, reps.shape[0], capacity)
+    bins = db[layout.member]  # (n_r, capacity, 8)
+    return RBCIndex(
+        reps=reps,
+        rep_db_ids=rep_db_ids,
+        db=db,
+        rep_id=rep_id,
+        layout=layout,
+        bins=bins,
+        bin_ids=layout.member,
+        bin_mask=layout.valid,
+    )

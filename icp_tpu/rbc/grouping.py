@@ -1,0 +1,69 @@
+"""Fixed-capacity grouping of points by bin id — the TPU answer to RBC's
+irregular bins.
+
+The reference's RBC construct counts points per representative, exclusive-
+scans the counts into offsets, and permutes the database into bin-major
+order (its scan kernels exist for exactly this, SURVEY.md §2.5). XLA needs
+static shapes, so on top of the same count/scan/permute we materialize a
+padded (n_bins, capacity) member table with a validity mask.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from icp_tpu.ops.scan import exclusive_scan
+
+
+class GroupLayout(NamedTuple):
+    """Bin-major layout of a point set grouped by bin id.
+
+    Attributes:
+      order: (n,) permutation — original indices in bin-major order
+        (the reference's permuted database / permuted queries).
+      counts: (n_bins,) points per bin.
+      offsets: (n_bins,) exclusive prefix of counts.
+      member: (n_bins, capacity) original index of each bin slot
+        (clamped/undefined where ``valid`` is False).
+      valid: (n_bins, capacity) slot validity. Slots beyond a bin's count
+        are invalid; members beyond ``capacity`` are NOT represented here
+        (capacity overflow — callers handle the fallback).
+      overflow: (n,) True for points whose within-bin rank >= capacity.
+    """
+
+    order: jnp.ndarray
+    counts: jnp.ndarray
+    offsets: jnp.ndarray
+    member: jnp.ndarray
+    valid: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def group_by_bin(bin_ids: jnp.ndarray, n_bins: int, capacity: int) -> GroupLayout:
+    """Group ``n`` points into ``n_bins`` fixed-capacity bins.
+
+    Count -> exclusive scan -> stable sort by bin id (the permutation the
+    reference computes with its scan + permute kernels), then a static
+    gather builds the padded member table.
+
+    Args:
+      bin_ids: (n,) int32 bin assignment per point.
+      n_bins: static number of bins.
+      capacity: static per-bin slot count.
+    """
+    n = bin_ids.shape[0]
+    counts = jnp.zeros((n_bins,), jnp.int32).at[bin_ids].add(1)
+    offsets = exclusive_scan(counts)
+    order = jnp.argsort(bin_ids, stable=True).astype(jnp.int32)
+
+    slot = offsets[:, None] + jnp.arange(capacity, dtype=jnp.int32)[None, :]
+    valid = jnp.arange(capacity, dtype=jnp.int32)[None, :] < counts[:, None]
+    member = order[jnp.clip(slot, 0, n - 1)]
+
+    # Rank of each point within its bin (position in sorted order - offset).
+    rank_sorted = jnp.arange(n, dtype=jnp.int32) - offsets[bin_ids[order]]
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+    overflow = rank >= capacity
+    return GroupLayout(order, counts, offsets, member, valid, overflow)

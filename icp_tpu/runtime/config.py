@@ -1,0 +1,163 @@
+"""Configuration for the ICP engine.
+
+The reference selects algorithm variants with compile-time template enums
+(``ICPStepConfigT{EIGEN, POWER_METHOD}`` x ``ICPStepConfigW{REGULAR,
+WEIGHTED}``, reference include/ICP/algorithms.hpp:1544-1564) and passes
+runtime knobs through ``init()`` (m, n_r, alpha, c, max_iterations,
+angle/translation thresholds, reference include/ICP/algorithms.hpp:2440-2458).
+
+Here the same split becomes: a hashable frozen dataclass ``ICPConfig`` whose
+fields are jit-static (they select traced code paths and shapes), and an
+``ICPParams`` pytree of dynamic scalars that can change without recompiling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any
+
+import jax.numpy as jnp
+from jax.tree_util import register_pytree_node_class
+
+
+class RotationMode(enum.Enum):
+    """Rotation-solve variant (reference ``ICPStepConfigT``).
+
+    SVD mirrors the reference's EIGEN mode (JacobiSVD on the host,
+    reference src/ICP/algorithms.cpp:3474-3487) but runs on-device via a
+    jit-compatible 3x3 SVD. POWER mirrors the on-device power-method kernel
+    (reference kernels/icp_kernels.cl:976-1054).
+    """
+
+    SVD = "svd"
+    POWER = "power"
+
+
+class Weighting(enum.Enum):
+    """Residual weighting variant (reference ``ICPStepConfigW``)."""
+
+    REGULAR = "regular"
+    WEIGHTED = "weighted"
+
+
+class Correspondence(enum.Enum):
+    """Nearest-neighbor search strategy.
+
+    BRUTE computes the full (m x n) distance matrix (exact NN).
+    RBC mirrors the reference's Random-Ball-Cover search: nearest
+    representative, then exhaustive search within that representative's bin
+    (reference external RandomBallCover dep, SURVEY.md §2.5).
+    """
+
+    BRUTE = "brute"
+    RBC = "rbc"
+
+
+@dataclasses.dataclass(frozen=True)
+class ICPConfig:
+    """Static (jit-time) configuration.
+
+    Attributes:
+      m: number of landmarks in each set (reference hard-codes 16384).
+      n_r: number of representatives (must split into a 2^k x 2^k-ish grid
+        for the sampler; reference requires a multiple of 4,
+        src/ICP/algorithms.cpp:852-854).
+      rotation: rotation solver variant.
+      weighting: residual weighting variant.
+      correspondence: NN search strategy.
+      max_iterations: iteration cap of the registration loop (reference
+        default 40, include/ICP/algorithms.hpp:2440).
+      bin_capacity: static per-representative database-bin capacity for the
+        RBC structure. Mean occupancy is m / n_r; the default 4x mean makes
+        overflow vanishingly rare on scan data. Overflowing database points
+        are dropped from their bin (masked), mirroring the fixed-capacity
+        idiom TPU static shapes require.
+      query_capacity: static per-bin query capacity for the grouped RBC
+        search. Queries overflowing their bin fall back to their nearest
+        representative (a real database point) as the match.
+      use_pallas: route the hot distance/argmin ops through Pallas kernels
+        (TPU) instead of plain XLA einsum/argmin.
+      double_precision_sums: accumulate weight sums in float64 like the
+        reference's ``reduce_sum_fd`` promotion (only honored where the
+        backend supports f64; XLA:TPU computes f32 otherwise).
+    """
+
+    m: int = 16384
+    n_r: int = 256
+    rotation: RotationMode = RotationMode.POWER
+    weighting: Weighting = Weighting.WEIGHTED
+    correspondence: Correspondence = Correspondence.RBC
+    max_iterations: int = 40
+    bin_capacity: int = 0  # 0 -> auto: 4 * m / n_r
+    query_capacity: int = 0  # 0 -> auto: 4 * m / n_r
+    use_pallas: bool = False
+
+    def __post_init__(self):
+        if self.m <= 0:
+            raise ValueError("The sets of landmarks cannot have zero points")
+        if self.n_r <= 0:
+            raise ValueError("The sets of representatives cannot have zero points")
+        if self.n_r % 4 != 0:
+            raise ValueError("n_r must be a multiple of 4")  # ref cpp:845-854
+        if self.bin_capacity == 0:
+            object.__setattr__(self, "bin_capacity", max(4 * self.m // self.n_r, 8))
+        if self.query_capacity == 0:
+            object.__setattr__(self, "query_capacity", max(4 * self.m // self.n_r, 8))
+
+    @property
+    def rep_grid(self) -> tuple[int, int]:
+        """(n_ry, n_rx) split of n_r, mirroring reference cpp:852-854.
+
+        n_r = 2^p -> n_rx = 2^(p - p//2), n_ry = 2^(p//2).
+        """
+        p = self.n_r.bit_length() - 1
+        if (1 << p) != self.n_r:
+            raise ValueError("n_r must be a power of 2 for the rep sampler")
+        n_ry = 1 << (p // 2)
+        n_rx = 1 << (p - p // 2)
+        return (n_ry, n_rx)
+
+
+@register_pytree_node_class
+@dataclasses.dataclass
+class ICPParams:
+    """Dynamic (traced) scalar parameters.
+
+    alpha: photometric blend weight in the 8-D distance
+      d^2 = ||x_g - x'_g||^2 + alpha * ||x_p - x'_p||^2
+      (reference ``euclideanSquaredMetric8``; library default 1e2, apps use
+      2e2 — include/ICP/algorithms.hpp:1654-1655, src/ocl_icp_sbs.cpp:88).
+    c: float-safety scaling of deviations before the S-matrix products
+      (reference kernels/icp_kernels.cl:609-613; default 1e-6).
+    angle_threshold_deg: convergence threshold on the incremental rotation
+      angle, degrees (reference default 0.001).
+    translation_threshold: convergence threshold on ||t_k||, in the cloud's
+      length unit (mm for Kinect data; reference default 0.01).
+    """
+
+    alpha: Any = 1e2
+    c: Any = 1e-6
+    angle_threshold_deg: Any = 0.001
+    translation_threshold: Any = 0.01
+
+    def tree_flatten(self):
+        children = (
+            self.alpha,
+            self.c,
+            self.angle_threshold_deg,
+            self.translation_threshold,
+        )
+        return children, None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def as_f32(self) -> "ICPParams":
+        return ICPParams(
+            alpha=jnp.float32(self.alpha),
+            c=jnp.float32(self.c),
+            angle_threshold_deg=jnp.float32(self.angle_threshold_deg),
+            translation_threshold=jnp.float32(self.translation_threshold),
+        )
