@@ -53,25 +53,33 @@ def build_N(S9: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+_POWER_CHUNK = 8  # matvecs unrolled per while_loop trip
+
+
 def _power_iterate(N: jnp.ndarray, max_iter: int = _POWER_MAX_ITER) -> jnp.ndarray:
     """Power iteration from x0 = ones(4) until the step-size plateaus.
 
     The reference stops when two consecutive iterate distances are exactly
     equal (a float-equality fixed-point test, kernels/icp_kernels.cl:1019).
-    That test is kept, but inside a bounded ``lax.while_loop`` so the trace
-    terminates regardless (SURVEY.md §7 risk (e)).
+    Kept, but at CHUNK granularity: on TPU each ``lax.while_loop`` trip costs
+    ~5 us of loop overhead, so 8 matvecs are unrolled per trip (pure VPU work
+    on a 4-vector) and the plateau test runs per chunk. Bounded regardless
+    (SURVEY.md §7 risk (e)).
     """
     x0 = jnp.ones((4,), dtype=N.dtype)
+    max_outer = max(max_iter // _POWER_CHUNK, 1)
 
     def cond(carry):
         i, _x, _err, converged = carry
-        return jnp.logical_and(i < max_iter, jnp.logical_not(converged))
+        return jnp.logical_and(i < max_outer, jnp.logical_not(converged))
 
     def body(carry):
         i, x, err_prev, _ = carry
-        x_new = qnormalize(jnp.dot(N, x, precision=jax.lax.Precision.HIGHEST))
+        x_new = x
+        for _ in range(_POWER_CHUNK):
+            x_new = qnormalize(jnp.dot(N, x_new, precision=jax.lax.Precision.HIGHEST))
         err = jnp.linalg.norm(x - x_new)
-        converged = err == err_prev
+        converged = jnp.logical_or(err == err_prev, err == 0.0)
         return (i + 1, x_new, err, converged)
 
     _, x, _, _ = jax.lax.while_loop(cond, body, (0, x0, jnp.float32(jnp.inf), False))
@@ -130,7 +138,8 @@ def solve_rotation_svd(S9: jnp.ndarray) -> jnp.ndarray:
 
 
 def solve_step_transform(S11: jnp.ndarray, mean_f: jnp.ndarray,
-                         mean_m: jnp.ndarray, *, use_power: bool):
+                         mean_m: jnp.ndarray, *, use_power: bool,
+                         estimate_scale: bool = True):
     """Incremental transform (q_k, t_k, s_k) for one ICP iteration.
 
     s_k = sqrt(S[9] / S[10]) — Horn's symmetric scale, the ratio of the
@@ -142,10 +151,15 @@ def solve_step_transform(S11: jnp.ndarray, mean_f: jnp.ndarray,
       mean_f: (3,) fixed-set centroid.
       mean_m: (3,) moving-set centroid.
       use_power: static flag selecting the power-method or SVD solver.
+      estimate_scale: solve for s_k (reference behavior); False pins
+        s_k = 1 (rigid mode — see ICPConfig.estimate_scale).
     Returns:
       (qk (4,), tk (3,), sk scalar).
     """
-    sk = jnp.sqrt(S11[9] / S11[10])
+    if estimate_scale:
+        sk = jnp.sqrt(S11[9] / S11[10])
+    else:
+        sk = jnp.ones((), S11.dtype)
     if use_power:
         qk = solve_rotation_power(S11[:9])
     else:

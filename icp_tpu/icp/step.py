@@ -32,20 +32,30 @@ from icp_tpu.ops.moments import (
     s_matrix,
 )
 from icp_tpu.rbc.construct import RBCIndex
-from icp_tpu.rbc.search import rbc_search
+from icp_tpu.rbc.search import rbc_search_grouped
 from icp_tpu.runtime.config import Correspondence, ICPConfig, ICPParams, RotationMode, Weighting
 
 
 def _find_correspondences(tm: jnp.ndarray, target: Union[RBCIndex, jnp.ndarray],
                           params: ICPParams, config: ICPConfig):
-    """NN search: (matched_fixed (m, 8), nn_dist (m,))."""
+    """NN search: (moving (n, 8), matched_fixed (n, 8), nn_dist (n,), mask).
+
+    RBC mode returns everything in the bin-grouped (permuted) layout with a
+    validity mask — the reductions are permutation-invariant, so nothing is
+    scattered back (the reference likewise reduces over its permuted arrays,
+    src/ICP/algorithms.cpp:3352-3363). Brute mode returns original order
+    with mask=None.
+    """
     if config.correspondence is Correspondence.RBC:
         assert isinstance(target, RBCIndex), "RBC mode needs an RBCIndex"
-        res = rbc_search(target, tm, params.alpha, config.query_capacity)
-        return target.db[res.nn_id], res.nn_dist
+        res = rbc_search_grouped(target, tm, params.alpha,
+                                 config.query_capacity)
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])
+        return (flat(res.queries_g), flat(res.matched_g), flat(res.dist_g),
+                flat(res.valid))
     db = target.db if isinstance(target, RBCIndex) else target
     nn_idx, nn_dist = nearest_neighbor_brute(tm, db, params.alpha)
-    return db[nn_idx], nn_dist
+    return tm, db[nn_idx], nn_dist, None
 
 
 def icp_step(state: ICPState, moving8: jnp.ndarray,
@@ -65,26 +75,30 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
     # 1. Transform the moving set by the accumulated similarity.
     tm = transform_points(moving8, state.q, state.t, state.s)
 
-    # 2. Correspondence search.
-    matched_f, nn_dist = _find_correspondences(tm, target, params, config)
+    # 2. Correspondence search (grouped layout + mask in RBC mode).
+    mv, matched_f, nn_dist, mask = _find_correspondences(tm, target, params,
+                                                         config)
 
     # 3. Optional residual weighting (reference icpComputeReduceWeights).
     if config.weighting is Weighting.WEIGHTED:
         w = compute_weights(nn_dist)
+        if mask is not None:
+            w = jnp.where(mask, w, 0.0)
         sum_w = masked_weight_sum(w)
     else:
         w, sum_w = None, None
 
     # 4-5. Centroids and deviations.
-    mean_f, mean_m = centroids(matched_f, tm, w, sum_w)
+    mean_f, mean_m = centroids(matched_f, mv, w, sum_w, mask)
     dev_f = deviations(matched_f, mean_f)
-    dev_m = deviations(tm, mean_m)
+    dev_m = deviations(mv, mean_m)
 
     # 6. Cross-covariance + scale constituents, then the rotation solve.
-    S11 = s_matrix(dev_m, dev_f, params.c, w)
+    S11 = s_matrix(dev_m, dev_f, params.c, w, mask)
     qk, tk, sk = solve_step_transform(
         S11, mean_f, mean_m,
         use_power=config.rotation is RotationMode.POWER,
+        estimate_scale=config.estimate_scale,
     )
 
     # 7. Accumulate (reference cpp:3491-3494):

@@ -73,6 +73,29 @@ def centroids(fixed8: jnp.ndarray, moving8: jnp.ndarray,
     return jnp.sum(f * wn, 0), jnp.sum(m * wn, 0)
 
 
+def centroid_partials(fixed8: jnp.ndarray, moving8: jnp.ndarray,
+                      weights: Optional[jnp.ndarray] = None,
+                      mask: Optional[jnp.ndarray] = None):
+    """Shard-local partial sums for the centroid computation.
+
+    Returns (sum_f (3,), sum_m (3,), denom scalar) such that the global
+    centroid is psum(sum) / psum(denom) — the distributed form of
+    :func:`centroids` used by icp_tpu.parallel (centroid = a ``psum`` of
+    per-shard partials over ICI, SURVEY.md §5 "distributed reductions").
+    """
+    f = fixed8[..., :3]
+    m = moving8[..., :3]
+    if weights is None:
+        if mask is None:
+            denom = jnp.asarray(f.shape[0], f.dtype)
+            return jnp.sum(f, 0), jnp.sum(m, 0), denom
+        valid = mask.astype(f.dtype)
+        return (jnp.sum(f * valid[:, None], 0),
+                jnp.sum(m * valid[:, None], 0), jnp.sum(valid))
+    w = weights if mask is None else jnp.where(mask, weights, 0.0)
+    return jnp.sum(f * w[:, None], 0), jnp.sum(m * w[:, None], 0), jnp.sum(w)
+
+
 def deviations(points8: jnp.ndarray, mean3: jnp.ndarray) -> jnp.ndarray:
     """xyz deviations from a centroid; drops the photometric half.
 

@@ -6,6 +6,11 @@ scans the counts into offsets, and permutes the database into bin-major
 order (its scan kernels exist for exactly this, SURVEY.md §2.5). XLA needs
 static shapes, so on top of the same count/scan/permute we materialize a
 padded (n_bins, capacity) member table with a validity mask.
+
+TPU-first: completely scatter-free. One stable 16k argsort costs ~10 us on
+a v5e, while a 16k scatter-add costs ~300 us — so counts/offsets come from
+``searchsorted`` on the sorted keys instead of a bincount scatter, and the
+member table is a static-shaped gather.
 """
 
 from __future__ import annotations
@@ -13,8 +18,6 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
-
-from icp_tpu.ops.scan import exclusive_scan
 
 
 class GroupLayout(NamedTuple):
@@ -30,7 +33,6 @@ class GroupLayout(NamedTuple):
       valid: (n_bins, capacity) slot validity. Slots beyond a bin's count
         are invalid; members beyond ``capacity`` are NOT represented here
         (capacity overflow — callers handle the fallback).
-      overflow: (n,) True for points whose within-bin rank >= capacity.
     """
 
     order: jnp.ndarray
@@ -38,15 +40,14 @@ class GroupLayout(NamedTuple):
     offsets: jnp.ndarray
     member: jnp.ndarray
     valid: jnp.ndarray
-    overflow: jnp.ndarray
 
 
 def group_by_bin(bin_ids: jnp.ndarray, n_bins: int, capacity: int) -> GroupLayout:
     """Group ``n`` points into ``n_bins`` fixed-capacity bins.
 
-    Count -> exclusive scan -> stable sort by bin id (the permutation the
-    reference computes with its scan + permute kernels), then a static
-    gather builds the padded member table.
+    Stable sort by bin id (the permutation the reference computes with its
+    scan + permute kernels), offsets via searchsorted, then a static gather
+    builds the padded member table. No scatters.
 
     Args:
       bin_ids: (n,) int32 bin assignment per point.
@@ -54,16 +55,26 @@ def group_by_bin(bin_ids: jnp.ndarray, n_bins: int, capacity: int) -> GroupLayou
       capacity: static per-bin slot count.
     """
     n = bin_ids.shape[0]
-    counts = jnp.zeros((n_bins,), jnp.int32).at[bin_ids].add(1)
-    offsets = exclusive_scan(counts)
     order = jnp.argsort(bin_ids, stable=True).astype(jnp.int32)
+    sorted_ids = bin_ids[order]
+    offsets = jnp.searchsorted(
+        sorted_ids, jnp.arange(n_bins, dtype=bin_ids.dtype), side="left"
+    ).astype(jnp.int32)
+    counts = jnp.diff(jnp.append(offsets, jnp.int32(n)))
 
     slot = offsets[:, None] + jnp.arange(capacity, dtype=jnp.int32)[None, :]
     valid = jnp.arange(capacity, dtype=jnp.int32)[None, :] < counts[:, None]
     member = order[jnp.clip(slot, 0, n - 1)]
+    return GroupLayout(order, counts, offsets, member, valid)
 
-    # Rank of each point within its bin (position in sorted order - offset).
-    rank_sorted = jnp.arange(n, dtype=jnp.int32) - offsets[bin_ids[order]]
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
-    overflow = rank >= capacity
-    return GroupLayout(order, counts, offsets, member, valid, overflow)
+
+def overflow_mask(layout: GroupLayout, bin_ids: jnp.ndarray,
+                  capacity: int) -> jnp.ndarray:
+    """(n,) True for points whose within-bin rank >= capacity (diagnostic;
+    not on the hot path)."""
+    n = bin_ids.shape[0]
+    rank_sorted = jnp.arange(n, dtype=jnp.int32) - layout.offsets[
+        bin_ids[layout.order]
+    ]
+    rank = jnp.zeros((n,), jnp.int32).at[layout.order].set(rank_sorted)
+    return rank >= capacity

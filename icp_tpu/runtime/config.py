@@ -78,6 +78,10 @@ class ICPConfig:
         representative (a real database point) as the match.
       use_pallas: route the hot distance/argmin ops through Pallas kernels
         (TPU) instead of plain XLA einsum/argmin.
+      estimate_scale: solve for Horn's symmetric scale s_k (the reference
+        always does). Disable for rigid odometry: on frustum-sampled
+        near-planar scenes the (s, t_z) pair is degenerate — a uniform
+        scale about the camera center exactly mimics forward translation.
       double_precision_sums: accumulate weight sums in float64 like the
         reference's ``reduce_sum_fd`` promotion (only honored where the
         backend supports f64; XLA:TPU computes f32 otherwise).
@@ -92,6 +96,7 @@ class ICPConfig:
     bin_capacity: int = 0  # 0 -> auto: 4 * m / n_r
     query_capacity: int = 0  # 0 -> auto: 4 * m / n_r
     use_pallas: bool = False
+    estimate_scale: bool = True
 
     def __post_init__(self):
         if self.m <= 0:
@@ -100,10 +105,17 @@ class ICPConfig:
             raise ValueError("The sets of representatives cannot have zero points")
         if self.n_r % 4 != 0:
             raise ValueError("n_r must be a multiple of 4")  # ref cpp:845-854
+        # Default capacity: 2x mean occupancy, rounded up to the 128-lane
+        # TPU tile. Halving capacity halves the dominant HBM traffic of the
+        # bin search; the rep-fallback handles the rare overflow.
         if self.bin_capacity == 0:
-            object.__setattr__(self, "bin_capacity", max(4 * self.m // self.n_r, 8))
+            mean_occ = max(self.m // self.n_r, 4)
+            object.__setattr__(self, "bin_capacity",
+                               max(((2 * mean_occ + 127) // 128) * 128, 16))
         if self.query_capacity == 0:
-            object.__setattr__(self, "query_capacity", max(4 * self.m // self.n_r, 8))
+            mean_occ = max(self.m // self.n_r, 4)
+            object.__setattr__(self, "query_capacity",
+                               max(((2 * mean_occ + 127) // 128) * 128, 16))
 
     @property
     def rep_grid(self) -> tuple[int, int]:

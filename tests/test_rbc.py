@@ -37,13 +37,15 @@ def test_grouping_invariants(rng):
         assert valid[b].sum() == counts[b]
         assert (ids[member[b][valid[b]]] == b).all()
     # no overflow at ample capacity
-    assert not np.asarray(g.overflow).any()
+    from icp_tpu.rbc.grouping import overflow_mask
+    assert not np.asarray(overflow_mask(g, jnp.asarray(ids), 256)).any()
 
 
 def test_grouping_overflow_detection(rng):
+    from icp_tpu.rbc.grouping import overflow_mask
     ids = np.zeros(100, np.int32)  # all in bin 0
     g = group_by_bin(jnp.asarray(ids), 4, 64)
-    assert np.asarray(g.overflow).sum() == 100 - 64
+    assert np.asarray(overflow_mask(g, jnp.asarray(ids), 64)).sum() == 100 - 64
     assert np.asarray(g.valid)[0].sum() == 64
 
 

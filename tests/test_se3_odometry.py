@@ -1,0 +1,75 @@
+"""SE(3) utilities and odometry-chain tests (synthetic rendered sequence)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from icp_tpu import Correspondence, ICPConfig, ICPParams, RotationMode, Weighting
+from icp_tpu.slam import se3
+from icp_tpu.slam.odometry import (
+    KeyframePolicy,
+    absolute_trajectory_error,
+    run_odometry,
+)
+from icp_tpu.sensors import synthetic
+from tests.utils import random_quat
+
+
+def test_se3_compose_inverse(rng):
+    a = se3.Pose(jnp.asarray(random_quat(rng, 1.0)),
+                 jnp.asarray(rng.normal(size=3).astype(np.float32)))
+    b = se3.Pose(jnp.asarray(random_quat(rng, 1.0)),
+                 jnp.asarray(rng.normal(size=3).astype(np.float32)))
+    ab = se3.compose(a, b)
+    b2 = se3.compose(se3.inverse(a), ab)
+    np.testing.assert_allclose(np.asarray(b2.t), np.asarray(b.t), atol=1e-5)
+    assert min(np.linalg.norm(np.asarray(b2.q) - np.asarray(b.q)),
+               np.linalg.norm(np.asarray(b2.q) + np.asarray(b.q))) < 1e-5
+
+
+def test_se3_exp_log_roundtrip(rng):
+    xi = rng.normal(size=6).astype(np.float32) * 0.3
+    p = se3.exp(jnp.asarray(xi))
+    xi2 = np.asarray(se3.log(p))
+    np.testing.assert_allclose(xi2, xi, atol=1e-5)
+
+
+def test_se3_apply_matches_compose(rng):
+    p = se3.Pose(jnp.asarray(random_quat(rng, 1.0)),
+                 jnp.asarray(rng.normal(size=3).astype(np.float32)))
+    pts = rng.normal(size=(10, 3)).astype(np.float32)
+    out = np.asarray(se3.apply(p, jnp.asarray(pts)))
+    R = np.asarray(se3.rotation_matrix(p))
+    np.testing.assert_allclose(out, pts @ R.T + np.asarray(p.t), atol=1e-5)
+
+
+def test_odometry_chain_recovers_trajectory(rng):
+    """Render a short synthetic sequence and chain ICP: the estimated
+    world poses must track the ground-truth camera trajectory (config 3 of
+    BASELINE.json, scaled down for CPU test time).
+
+    Tolerance note: point-to-point photogeometric ICP at the reference's
+    landmark density (~15 mm pitch on surfaces at 2 m) has a few-mm
+    per-frame accuracy floor from correspondence discretization; the
+    reference itself never quantifies this (no accuracy tests, SURVEY.md
+    §4). Rigid mode (estimate_scale=False) avoids the frustum scale/t_z
+    degeneracy."""
+    scene = synthetic.default_scene()
+    poses_gt = synthetic.orbit_trajectory(4, radius_mm=40.0, yaw_rad=0.03)
+    frames = [synthetic.render_cloud(scene, p) for p in poses_gt]
+
+    config = ICPConfig(m=16384, n_r=256,
+                       rotation=RotationMode.POWER,
+                       weighting=Weighting.WEIGHTED,
+                       correspondence=Correspondence.RBC,
+                       max_iterations=40,
+                       estimate_scale=False)
+    params = ICPParams(alpha=2e2).as_f32()
+    result = run_odometry(frames, params, config,
+                          policy=KeyframePolicy(max_gap=2))
+
+    gt = [se3.Pose(p.q, p.t) for p in poses_gt]
+    ate = absolute_trajectory_error(result.poses, gt)
+    assert ate < 15.0, f"ATE {ate} mm too large"
+    assert result.keyframes[0] == 0
+    assert len(result.keyframes) >= 2  # max_gap=2 forces keyframes
+    assert len(result.poses) == 4

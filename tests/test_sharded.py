@@ -1,0 +1,80 @@
+"""Multi-chip sharding tests on an 8-virtual-device CPU mesh — the
+capability the reference lacks entirely (single OpenCL device, no mocks;
+SURVEY.md §4 'TPU build implication')."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from icp_tpu import (
+    Correspondence,
+    ICPConfig,
+    ICPParams,
+    RotationMode,
+    Weighting,
+    register,
+)
+from icp_tpu.icp.quaternion import qangle_deg, qconj, qmul
+from icp_tpu.parallel.mesh import make_mesh
+from icp_tpu.parallel.sharded import make_sharded_register
+from tests.test_icp_e2e import _make_pair
+
+
+@pytest.fixture(scope="module")
+def pair():
+    rng = np.random.default_rng(11)
+    return _make_pair(rng, 4096, angle=0.03, trans=12.0)
+
+
+def _check(state, q_true, t_true):
+    q_err = qmul(state.q, qconj(jnp.asarray(q_true)))
+    assert float(qangle_deg(q_err)) < 0.1
+    np.testing.assert_allclose(np.asarray(state.t), t_true, atol=1.5)
+    assert abs(float(state.s) - 1.0) < 2e-3
+
+
+@pytest.mark.parametrize("n_dp,n_mp", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_register_matches_truth(pair, n_dp, n_mp):
+    fixed, moving, q_true, t_true = pair
+    config = ICPConfig(m=4096, n_r=64, rotation=RotationMode.POWER,
+                       weighting=Weighting.WEIGHTED,
+                       correspondence=Correspondence.RBC)
+    mesh = make_mesh(n_dp, n_mp)
+    run = make_sharded_register(mesh, config)
+    state = jax.block_until_ready(
+        run(jnp.asarray(fixed), jnp.asarray(moving), ICPParams(alpha=2e2).as_f32()))
+    _check(state, q_true, t_true)
+
+
+def test_sharded_matches_single_device(pair):
+    """Same pair, single-device vs 8-way sharded: transforms must agree to
+    reduction-order noise."""
+    fixed, moving, q_true, t_true = pair
+    config = ICPConfig(m=4096, n_r=64, rotation=RotationMode.POWER,
+                       weighting=Weighting.WEIGHTED,
+                       correspondence=Correspondence.RBC)
+    params = ICPParams(alpha=2e2).as_f32()
+    single = register(jnp.asarray(fixed), jnp.asarray(moving), params, config)
+
+    mesh = make_mesh(4, 2)
+    run = make_sharded_register(mesh, config)
+    sharded = jax.block_until_ready(
+        run(jnp.asarray(fixed), jnp.asarray(moving), params))
+
+    q_err = qmul(sharded.q, qconj(single.q))
+    assert float(qangle_deg(q_err)) < 5e-3
+    np.testing.assert_allclose(np.asarray(sharded.t), np.asarray(single.t),
+                               atol=0.1)
+
+
+def test_sharded_brute_mode(pair):
+    fixed, moving, q_true, t_true = pair
+    config = ICPConfig(m=4096, n_r=64, rotation=RotationMode.SVD,
+                       weighting=Weighting.REGULAR,
+                       correspondence=Correspondence.BRUTE)
+    mesh = make_mesh(8, 1)
+    run = make_sharded_register(mesh, config)
+    state = jax.block_until_ready(
+        run(jnp.asarray(fixed), jnp.asarray(moving), ICPParams().as_f32()))
+    _check(state, q_true, t_true)
