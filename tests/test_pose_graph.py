@@ -1,0 +1,103 @@
+"""Pose-graph optimization tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from icp_tpu.slam import se3
+from icp_tpu.slam.pose_graph import (
+    PoseGraph,
+    graph_cost,
+    graph_from_poses,
+    optimize,
+)
+from tests.utils import random_quat
+
+
+def _chain_with_loop(rng, n=8, noise=0.02):
+    """Ground-truth poses on a loop; odometry edges with noise + one exact
+    loop-closure edge. Optimization must pull the drifted chain back."""
+    gt = [se3.Pose.identity()]
+    for i in range(1, n):
+        ang = 2 * np.pi / n
+        q = np.array([0, np.sin(ang / 2), 0, np.cos(ang / 2)], np.float32)
+        step = se3.Pose(jnp.asarray(q), jnp.asarray(
+            np.array([100.0, 0.0, 20.0], np.float32)))
+        gt.append(se3.compose(gt[-1], step))
+
+    edges, meas = [], []
+    est = [gt[0]]
+    for i in range(n - 1):
+        z = se3.relative(gt[i], gt[i + 1])
+        # Perturb the measurement (odometry noise).
+        xi = rng.normal(size=6).astype(np.float32) * noise
+        xi[:3] *= 20.0  # translation noise in mm
+        z_noisy = se3.compose(se3.exp(jnp.asarray(xi)), z)
+        edges.append((i, i + 1))
+        meas.append(z_noisy)
+        est.append(se3.compose(est[-1], z_noisy))
+
+    # Exact loop closure from last to first.
+    edges.append((n - 1, 0))
+    meas.append(se3.relative(gt[n - 1], gt[0]))
+
+    graph = graph_from_poses([p.q for p in est], [p.t for p in est],
+                             edges, meas)
+    return graph, gt
+
+
+def test_optimize_reduces_cost(rng):
+    graph, gt = _chain_with_loop(rng)
+    c0 = float(graph_cost(graph))
+    out = optimize(graph, iterations=10)
+    c1 = float(graph_cost(out))
+    # Noisy odometry + exact loop closure are mutually inconsistent, so the
+    # least-squares optimum has a nonzero residual floor; GN reaches it in
+    # ~1 iteration on this graph.
+    assert c1 < c0 * 0.2, (c0, c1)
+    # And it is a fixed point: more iterations do not diverge.
+    c2 = float(graph_cost(optimize(graph, iterations=20)))
+    assert c2 <= c1 * 1.01
+
+
+def test_optimize_perfect_graph_is_fixed_point(rng):
+    """A graph whose measurements exactly match its poses must not move."""
+    poses = [se3.Pose.identity()]
+    for i in range(4):
+        step = se3.Pose(jnp.asarray(random_quat(rng, 0.2)),
+                        jnp.asarray(rng.normal(size=3).astype(np.float32) * 50))
+        poses.append(se3.compose(poses[-1], step))
+    edges = [(i, i + 1) for i in range(4)] + [(0, 4)]
+    meas = [se3.relative(poses[i], poses[j]) for i, j in edges]
+    graph = graph_from_poses([p.q for p in poses], [p.t for p in poses],
+                             edges, meas)
+    out = optimize(graph, iterations=5)
+    np.testing.assert_allclose(np.asarray(out.t), np.asarray(graph.t),
+                               atol=1e-2)
+
+
+def test_optimize_closes_loop(rng):
+    """After optimization the chain endpoint must respect the loop-closure
+    edge much better than the drifted initialization."""
+    graph, gt = _chain_with_loop(rng, n=8, noise=0.03)
+    out = optimize(graph, iterations=15)
+
+    def endpoint_err(g):
+        # residual of the loop edge (last -> first)
+        pi = se3.Pose(g.q[-1], g.t[-1])
+        pj = se3.Pose(g.q[0], g.t[0])
+        z = se3.Pose(g.meas_q[-1], g.meas_t[-1])
+        r = se3.log(se3.compose(se3.inverse(z),
+                                se3.compose(se3.inverse(pi), pj)))
+        return float(jnp.linalg.norm(r[:3]))
+
+    # With equal edge weights the optimum distributes residual across all
+    # edges, so the loop edge keeps a share of the total inconsistency.
+    assert endpoint_err(out) < endpoint_err(graph) * 0.25
+
+
+def test_anchor_fixed(rng):
+    graph, _ = _chain_with_loop(rng)
+    out = optimize(graph, iterations=5)
+    np.testing.assert_allclose(np.asarray(out.t[0]), np.zeros(3), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.q[0]),
+                               np.array([0, 0, 0, 1.0]), atol=1e-4)
