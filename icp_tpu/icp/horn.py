@@ -53,69 +53,48 @@ def build_N(S9: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-_POWER_CHUNK = 8  # matvecs unrolled per while_loop trip
-
-
-def _power_iterate(N: jnp.ndarray, max_iter: int = _POWER_MAX_ITER) -> jnp.ndarray:
-    """Power iteration from x0 = ones(4) until the step-size plateaus.
-
-    The reference stops when two consecutive iterate distances are exactly
-    equal (a float-equality fixed-point test, kernels/icp_kernels.cl:1019).
-    Kept, but at CHUNK granularity: on TPU each ``lax.while_loop`` trip costs
-    ~5 us of loop overhead, so 8 matvecs are unrolled per trip (pure VPU work
-    on a 4-vector) and the plateau test runs per chunk. Bounded regardless
-    (SURVEY.md §7 risk (e)).
-    """
-    x0 = jnp.ones((4,), dtype=N.dtype)
-    max_outer = max(max_iter // _POWER_CHUNK, 1)
-
-    def cond(carry):
-        i, _x, _err, converged = carry
-        return jnp.logical_and(i < max_outer, jnp.logical_not(converged))
-
-    def body(carry):
-        i, x, err_prev, _ = carry
-        x_new = x
-        for _ in range(_POWER_CHUNK):
-            x_new = qnormalize(jnp.dot(N, x_new, precision=jax.lax.Precision.HIGHEST))
-        err = jnp.linalg.norm(x - x_new)
-        converged = jnp.logical_or(err == err_prev, err == 0.0)
-        return (i + 1, x_new, err, converged)
-
-    _, x, _, _ = jax.lax.while_loop(cond, body, (0, x0, jnp.float32(jnp.inf), False))
-    return x
+_POWER_SQUARINGS = 8  # N^(2^8) = 256 effective power iterations
 
 
 def solve_rotation_power(S9: jnp.ndarray) -> jnp.ndarray:
-    """Dominant-most-positive-eigenvector quaternion via the power method.
+    """Dominant-most-positive-eigenvector quaternion via the power method,
+    TPU-shaped.
 
-    Mirrors the negative-eigenvalue handling of the reference kernel
-    (kernels/icp_kernels.cl:1024-1037): if the dominant eigenvalue mu of N is
-    negative, rerun on N' = N - mu*I (all eigenvalues shifted >= 0; the
-    eigenvector of the most positive eigenvalue is unchanged).
+    The reference runs a scalar fixed-point loop of normalize(N x) steps
+    (~56 iterations) with a shift-and-retry when the dominant-magnitude
+    eigenvalue is negative (kernels/icp_kernels.cl:1001-1037). A sequential
+    4-vector loop is the worst shape for a TPU (each tiny op pays fixed VPU
+    latency; ~0.3 ms/solve measured), so the same quantity is computed as:
+
+      1. shift N' = N + r I with r = the Gershgorin bound max_i sum_j |N_ij|
+         (>= -lambda_min), making every eigenvalue nonnegative — the
+         most-POSITIVE eigenvalue of N becomes the dominant one by
+         construction, eliminating the reference's data-dependent retry;
+      2. 8 normalized matrix squarings: M = (N'/|N'|)^(2^8) — equivalent to
+         256 power iterations, in 8 unrolled 4x4 matmuls (~30 us);
+      3. q = normalize(M @ ones(4)), the reference's starting vector.
+
+    Convergence is strictly stronger than the reference's (ratio^256 vs
+    ratio^56 eigenvalue separation), with identical semantics: the returned
+    eigenvector of Horn's N maximizes the rotation objective.
 
     Returns:
-      (4,) unit quaternion [x, y, z, w].
+      (4,) unit quaternion [x, y, z, w], sign-canonicalized (w >= 0): q and
+      -q are the same rotation, but the convergence metric
+      2*atan2(|v|, w) is not sign-invariant.
     """
     N = build_N(S9)
-    x = _power_iterate(N)
-    # Rayleigh quotient (x is unit) — more robust than the reference's
-    # N[0].x / x.x component ratio, identical for exact eigenvectors.
-    lam = x @ (N @ x)
-
-    def rerun(_):
-        N2 = N - lam * jnp.eye(4, dtype=N.dtype)
-        return N2, _power_iterate(N2)
-
-    def keep(_):
-        return N, x
-
-    N_final, x = jax.lax.cond(lam < 0, rerun, keep, None)
-    # One final un-normalized multiply then exact normalize, as in the
-    # reference epilogue (kernels/icp_kernels.cl:1039-1041).
-    q = qnormalize(N_final @ x)
-    # Canonical sign (w >= 0): q and -q are the same rotation, but the
-    # convergence metric 2*atan2(|v|, w) is not sign-invariant.
+    r = jnp.max(jnp.sum(jnp.abs(N), axis=1))
+    M = N + r * jnp.eye(4, dtype=N.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    for _ in range(_POWER_SQUARINGS):
+        M = M / jnp.max(jnp.abs(M))
+        M = jnp.dot(M, M, precision=hi)
+    x = jnp.dot(M, jnp.ones((4,), N.dtype), precision=hi)
+    # Reference epilogue: one extra un-normalized multiply by N' then an
+    # exact normalize (kernels/icp_kernels.cl:1039-1041) — also polishes the
+    # squaring result.
+    q = qnormalize(jnp.dot(N + r * jnp.eye(4, dtype=N.dtype), x, precision=hi))
     return q * jnp.where(q[3] < 0, -1.0, 1.0)
 
 

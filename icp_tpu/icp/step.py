@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Union
 
+import jax
 import jax.numpy as jnp
 
 from icp_tpu.icp.horn import solve_step_transform
@@ -48,8 +49,12 @@ def _find_correspondences(tm: jnp.ndarray, target: Union[RBCIndex, jnp.ndarray],
     """
     if config.correspondence is Correspondence.RBC:
         assert isinstance(target, RBCIndex), "RBC mode needs an RBCIndex"
+        # Pallas kernels compile only on TPU; the CPU test backend takes the
+        # identical-semantics XLA path (backend is known at trace time).
+        use_pallas = config.use_pallas and jax.default_backend() != "cpu"
         res = rbc_search_grouped(target, tm, params.alpha,
-                                 config.query_capacity)
+                                 config.query_capacity,
+                                 use_pallas=use_pallas)
         flat = lambda x: x.reshape((-1,) + x.shape[2:])
         return (flat(res.queries_g), flat(res.matched_g), flat(res.dist_g),
                 flat(res.valid))

@@ -1,0 +1,124 @@
+"""Pallas TPU kernel: fused per-bin RBC exhaustive search.
+
+Replaces the XLA chain  einsum -> broadcast-add -> argmin/min ->
+take_along_axis  of the grouped search (icp_tpu.rbc.search), which
+materializes the (n_r, cq, cb) score tensor in HBM (~16 MB at the flagship
+shape) and re-reads it for every consumer. Here each grid step processes a
+batch of bins entirely in VMEM:
+
+    scores   = sq_b_masked - 2 * (q_w @ bins_c^T)     (MXU, f32 passes)
+    best     = argmin/min over the bin axis            (VPU, in VMEM)
+    matched  = one_hot(best) @ bins                    (MXU — no gather)
+
+HBM traffic per iteration drops to the inputs + (cq, 8)-sized outputs.
+
+The kernel is exact-equivalent to the XLA path (same centered quadratic
+expansion, same +inf masking via sq_b_masked) and runs under
+``interpret=True`` on CPU for tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Bins processed per grid step: amortizes grid/dispatch overhead while
+# keeping VMEM usage ~1-2 MB per step at cq = cb = 128.
+DEFAULT_BIN_BATCH = 16
+
+
+def _bin_search_kernel(qg_w_ref, bins_c_ref, sq_b_ref, bins_ref,
+                       score_ref, matched_ref):
+    """One grid step: BB bins of the grouped search, fully in VMEM.
+
+    Shapes (BB = bin batch, cq = query capacity, cb = bin capacity):
+      qg_w_ref:    (BB, cq, 8)  metric-weighted centered queries
+      bins_c_ref:  (BB, cb, 8)  centered bin points
+      sq_b_ref:    (BB, cb)     masked |b|^2 row (+inf on invalid slots)
+      bins_ref:    (BB, cb, 8)  raw bin points (for the matched gather)
+      score_ref:   (BB, cq)     out: winning score (sq_b - 2 q.b)
+      matched_ref: (BB, cq, 8)  out: winning bin point
+    """
+    qg_w = qg_w_ref[:]
+    bins_c = bins_c_ref[:]
+
+    # (BB, cq, cb) scores on the MXU; full-f32 passes (bf16 would break the
+    # NN ordering of the cancelled quadratic expansion).
+    cross = jax.lax.dot_general(
+        qg_w, bins_c,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    scores = sq_b_ref[:][:, None, :] - 2.0 * cross
+
+    best_slot = jnp.argmin(scores, axis=-1)  # (BB, cq)
+    score_ref[:] = jnp.min(scores, axis=-1)
+
+    # Matched points via one-hot matmul — VMEM-resident, no dynamic gather.
+    cb = bins_c.shape[1]
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, best_slot.shape + (cb,), 2)
+    one_hot = (slot_ids == best_slot[..., None]).astype(jnp.float32)
+    matched_ref[:] = jax.lax.dot_general(
+        one_hot, bins_ref[:],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bin_batch", "interpret"))
+def bin_search_pallas(qg_w: jnp.ndarray, bins_c: jnp.ndarray,
+                      sq_b_masked: jnp.ndarray, bins: jnp.ndarray,
+                      *, bin_batch: int = DEFAULT_BIN_BATCH,
+                      interpret: bool = False):
+    """Fused grouped bin search.
+
+    Args:
+      qg_w: (n_r, cq, 8) metric-weighted per-bin-centered queries.
+      bins_c: (n_r, cb, 8) centered bin points.
+      sq_b_masked: (n_r, cb) masked |b|^2 (+inf on invalid slots).
+      bins: (n_r, cb, 8) raw bin points.
+      bin_batch: bins per grid step (must divide n_r).
+      interpret: run in the Pallas interpreter (CPU tests).
+    Returns:
+      (best_score (n_r, cq), matched (n_r, cq, 8)).
+    """
+    n_r, cq, d = qg_w.shape
+    cb = bins_c.shape[1]
+    assert n_r % bin_batch == 0, (n_r, bin_batch)
+    grid = (n_r // bin_batch,)
+
+    def idx(i):
+        return (i, 0, 0)
+
+    def idx2(i):
+        return (i, 0)
+
+    return pl.pallas_call(
+        _bin_search_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bin_batch, cq, d), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bin_batch, cb, d), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bin_batch, cb), idx2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bin_batch, cb, d), idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bin_batch, cq), idx2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bin_batch, cq, d), idx, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_r, cq), jnp.float32),
+            jax.ShapeDtypeStruct((n_r, cq, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_r * cq * cb * d * 3 + 2 * n_r * cq * cb * d,
+            bytes_accessed=4 * n_r * (cq * d * 2 + cb * d * 2 + cb + cq),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qg_w, bins_c, sq_b_masked, bins)

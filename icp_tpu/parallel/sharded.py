@@ -79,6 +79,9 @@ def _slice_index_for_mp(index: RBCIndex, n_r_local: int) -> RBCIndex:
         bins=sl(index.bins),
         bin_ids=sl(index.bin_ids),
         bin_mask=sl(index.bin_mask),
+        bins_centered=sl(index.bins_centered),
+        sq_b_masked=sl(index.sq_b_masked),
+        alpha=index.alpha,
     )
 
 
@@ -117,20 +120,19 @@ def _sharded_rbc_nn(index: RBCIndex, queries: jnp.ndarray, params: ICPParams,
     qmember = qlayout.member[:n_r_local]  # drop the parking bin
     qvalid = qlayout.valid[:n_r_local]
     qgroups = queries[qmember] - local.reps[:, None, :]
-    bins = local.bins - local.reps[:, None, :]
 
     w8 = metric_weights(params.alpha, queries.dtype)
     qg_w = qgroups * w8
     sq_q = jnp.sum(qg_w * qgroups, axis=-1)
-    sq_b = jnp.sum((bins * w8) * bins, axis=-1)
-    cross = jnp.einsum("rqd,rcd->rqc", qg_w, bins,
+    cross = jnp.einsum("rqd,rcd->rqc", qg_w, local.bins_centered,
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
-    d2 = jnp.maximum(sq_q[:, :, None] + sq_b[:, None, :] - 2.0 * cross, 0.0)
-    d2 = jnp.where(local.bin_mask[:, None, :], d2, jnp.inf)
+    score = local.sq_b_masked[:, None, :] - 2.0 * cross
 
-    best_slot = jnp.argmin(d2, axis=-1)
-    best_d2 = jnp.min(d2, axis=-1)
+    best_slot = jnp.argmin(score, axis=-1)
+    best_sc = jnp.min(score, axis=-1)
+    best_d2 = jnp.where(jnp.isfinite(best_sc),
+                        jnp.maximum(best_sc + sq_q, 0.0), jnp.inf)
     best_id = jnp.take_along_axis(local.bin_ids, best_slot, axis=-1)
 
     # Scatter grouped results back to dp-local query order; +inf elsewhere.

@@ -50,6 +50,9 @@ class RBCIndex(NamedTuple):
     bins: jnp.ndarray
     bin_ids: jnp.ndarray
     bin_mask: jnp.ndarray
+    bins_centered: jnp.ndarray
+    sq_b_masked: jnp.ndarray
+    alpha: jnp.ndarray
 
 
 def rbc_construct(db: jnp.ndarray, reps: jnp.ndarray, alpha,
@@ -75,6 +78,18 @@ def rbc_construct(db: jnp.ndarray, reps: jnp.ndarray, alpha,
 
     layout = group_by_bin(rep_id, reps.shape[0], capacity)
     bins = db[layout.member]  # (n_r, capacity, 8)
+
+    # Search-time invariants, hoisted out of the per-iteration search:
+    # per-bin-centered bins (f32-safe quadratic expansion) and the masked
+    # |b|^2 row — +inf on invalid slots doubles as the search mask, saving
+    # a full (n_r, cq, cb) where-pass every iteration.
+    from icp_tpu.ops.distance import metric_weights
+
+    bins_centered = bins - reps[:, None, :]
+    w8 = metric_weights(alpha, db.dtype)
+    sq_b = jnp.sum((bins_centered * w8) * bins_centered, axis=-1)
+    sq_b_masked = jnp.where(layout.valid, sq_b, jnp.inf)
+
     return RBCIndex(
         reps=reps,
         rep_db_ids=rep_db_ids,
@@ -84,4 +99,7 @@ def rbc_construct(db: jnp.ndarray, reps: jnp.ndarray, alpha,
         bins=bins,
         bin_ids=layout.member,
         bin_mask=layout.valid,
+        bins_centered=bins_centered,
+        sq_b_masked=sq_b_masked,
+        alpha=jnp.asarray(alpha, db.dtype),
     )

@@ -54,12 +54,17 @@ class GroupedSearchResult(NamedTuple):
 
 
 def rbc_search_grouped(index: RBCIndex, queries: jnp.ndarray, alpha,
-                       query_capacity: int) -> GroupedSearchResult:
+                       query_capacity: int, use_pallas: bool = False,
+                       interpret: bool = False) -> GroupedSearchResult:
     """RBC search returning bin-grouped results (the hot path).
 
     Identical search semantics to :func:`rbc_search`, but results stay in
     the grouped layout: no scatter back to original order (a 16k scatter
     costs ~300 us on a v5e — pure waste when the consumers are reductions).
+
+    With ``use_pallas`` the scores/argmin/matched-gather chain runs as one
+    fused VMEM-resident kernel (icp_tpu.kernels.bin_search) instead of
+    materializing the (n_r, cq, cb) tensor in HBM.
     """
     n_r = index.reps.shape[0]
 
@@ -69,24 +74,45 @@ def rbc_search_grouped(index: RBCIndex, queries: jnp.ndarray, alpha,
     qlayout = group_by_bin(query_rep, n_r, query_capacity)
     queries_g = queries[qlayout.member]  # (n_r, cq, 8)
     qc = queries_g - index.reps[:, None, :]  # per-bin centering
-    bins_c = index.bins - index.reps[:, None, :]
 
     w8 = metric_weights(alpha, queries.dtype)
     qg_w = qc * w8
     sq_q = jnp.sum(qg_w * qc, axis=-1)
-    sq_b = jnp.sum((bins_c * w8) * bins_c, axis=-1)
-    cross = jnp.einsum("rqd,rcd->rqc", qg_w, bins_c,
+
+    if use_pallas:
+        from icp_tpu.kernels.bin_search import bin_search_pallas
+
+        best_score, matched_g = bin_search_pallas(
+            qg_w, index.bins_centered, index.sq_b_masked, index.bins,
+            interpret=interpret)
+        best_d2 = jnp.maximum(best_score + sq_q, 0.0)
+        valid = qlayout.valid & jnp.isfinite(best_score)
+        n_dropped = queries.shape[0] - jnp.sum(valid.astype(jnp.int32))
+        return GroupedSearchResult(
+            queries_g=queries_g,
+            matched_g=matched_g,
+            dist_g=jnp.where(valid, best_d2, 0.0),
+            valid=valid,
+            n_dropped=n_dropped,
+        )
+
+    cross = jnp.einsum("rqd,rcd->rqc", qg_w, index.bins_centered,
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
-    d2 = jnp.maximum(sq_q[:, :, None] + sq_b[:, None, :] - 2.0 * cross, 0.0)
-    d2 = jnp.where(index.bin_mask[:, None, :], d2, jnp.inf)
+    # Per query the argmin only needs |b|^2 - 2 q.b (sq_q is a row
+    # constant), and sq_b_masked carries +inf on invalid slots — one fused
+    # pass over the (n_r, cq, cb) tensor instead of three.
+    score = index.sq_b_masked[:, None, :] - 2.0 * cross
 
-    best_slot = jnp.argmin(d2, axis=-1)
-    best_d2 = jnp.min(d2, axis=-1)
+    # argmin and min lower to ONE fused variadic reduce over the big tensor
+    # (a take_along_axis of the winner would be a second full-tensor gather).
+    best_slot = jnp.argmin(score, axis=-1)
+    best_score = jnp.min(score, axis=-1)
+    best_d2 = jnp.maximum(best_score + sq_q, 0.0)
     matched_g = jnp.take_along_axis(
         index.bins, best_slot[..., None], axis=1)
 
-    valid = qlayout.valid & jnp.isfinite(best_d2)
+    valid = qlayout.valid & jnp.isfinite(best_score)
     n_dropped = queries.shape[0] - jnp.sum(valid.astype(jnp.int32))
     return GroupedSearchResult(
         queries_g=queries_g,
@@ -134,28 +160,26 @@ def rbc_search(index: RBCIndex, queries: jnp.ndarray, alpha,
 
     # Phase 2: group queries by representative (the reference's permuted
     # queries) and run every bin's exhaustive search as one batched matmul.
-    qlayout = group_by_bin(query_rep, n_r, query_capacity)
     # Per-bin centering on the representative: queries and bin members are
-    # both near their rep, so the quadratic expansion below operates on
-    # small offsets and keeps full f32 accuracy (no cancellation).
+    # both near their rep, so the quadratic expansion operates on small
+    # offsets and keeps full f32 accuracy (no cancellation).
+    qlayout = group_by_bin(query_rep, n_r, query_capacity)
     qgroups = queries[qlayout.member] - index.reps[:, None, :]  # (n_r, cq, 8)
-    bins = index.bins - index.reps[:, None, :]  # (n_r, cb, 8)
 
     w8 = metric_weights(alpha, queries.dtype)
     qg_w = qgroups * w8
     sq_q = jnp.sum(qg_w * qgroups, axis=-1)  # (n_r, cq)
-    sq_b = jnp.sum((bins * w8) * bins, axis=-1)  # (n_r, cb)
     cross = jnp.einsum(
-        "rqd,rcd->rqc", qg_w, bins,
+        "rqd,rcd->rqc", qg_w, index.bins_centered,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    d2 = sq_q[:, :, None] + sq_b[:, None, :] - 2.0 * cross  # (n_r, cq, cb)
-    d2 = jnp.maximum(d2, 0.0)
-    d2 = jnp.where(index.bin_mask[:, None, :], d2, jnp.inf)
+    score = index.sq_b_masked[:, None, :] - 2.0 * cross  # (n_r, cq, cb)
 
-    best_slot = jnp.argmin(d2, axis=-1)  # (n_r, cq)
-    best_d2 = jnp.min(d2, axis=-1)
+    best_slot = jnp.argmin(score, axis=-1)  # (n_r, cq)
+    best_sc = jnp.min(score, axis=-1)
+    best_d2 = jnp.where(jnp.isfinite(best_sc),
+                        jnp.maximum(best_sc + sq_q, 0.0), jnp.inf)
     best_id = jnp.take_along_axis(index.bin_ids, best_slot, axis=-1)
 
     # Phase 3: scatter grouped results back to original query order.

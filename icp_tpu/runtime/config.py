@@ -77,7 +77,8 @@ class ICPConfig:
         search. Queries overflowing their bin fall back to their nearest
         representative (a real database point) as the match.
       use_pallas: route the hot distance/argmin ops through Pallas kernels
-        (TPU) instead of plain XLA einsum/argmin.
+        instead of plain XLA einsum/argmin. Auto-disabled when tracing for
+        the CPU backend (tests), where the XLA path is identical semantics.
       estimate_scale: solve for Horn's symmetric scale s_k (the reference
         always does). Disable for rigid odometry: on frustum-sampled
         near-planar scenes the (s, t_z) pair is degenerate — a uniform
@@ -95,7 +96,7 @@ class ICPConfig:
     max_iterations: int = 40
     bin_capacity: int = 0  # 0 -> auto: 4 * m / n_r
     query_capacity: int = 0  # 0 -> auto: 4 * m / n_r
-    use_pallas: bool = False
+    use_pallas: bool = True
     estimate_scale: bool = True
 
     def __post_init__(self):

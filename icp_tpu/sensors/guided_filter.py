@@ -12,6 +12,9 @@ TPU-first: the box filter is two cumulative sums + shifted differences
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 DEFAULT_RADIUS = 5
@@ -59,6 +62,7 @@ def guided_filter(guide: jnp.ndarray, src: jnp.ndarray,
     return box_filter(a, radius) * guide + box_filter(b, radius)
 
 
+@partial(jax.jit, static_argnames=("radius",))
 def filter_rgb(rgb: jnp.ndarray, radius: int = DEFAULT_RADIUS,
                eps: float = DEFAULT_EPS) -> jnp.ndarray:
     """Per-channel self-guided filtering of an (H, W, 3) image in [0, 1] —
@@ -68,6 +72,7 @@ def filter_rgb(rgb: jnp.ndarray, radius: int = DEFAULT_RADIUS,
     return jnp.clip(jnp.stack(chans, axis=-1), 0.0, 1.0)
 
 
+@partial(jax.jit, static_argnames=("radius",))
 def filter_depth(depth_mm: jnp.ndarray, radius: int = DEFAULT_RADIUS,
                  eps: float = DEFAULT_EPS) -> jnp.ndarray:
     """Self-guided filtering of an (H, W) depth map in mm.

@@ -13,6 +13,7 @@ packed as 8-D points [x, y, z, 1, r, g, b, 1].
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 FOCAL = 595.0
@@ -22,6 +23,7 @@ WIDTH = 640
 HEIGHT = 480
 
 
+@jax.jit
 def backproject(depth: jnp.ndarray, rgb: jnp.ndarray) -> jnp.ndarray:
     """Depth + color images -> (H, W, 8) point cloud.
 

@@ -102,6 +102,7 @@ def _texture(p: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.stack([r, g, b], -1), 0.0, 1.0)
 
 
+@jax.jit
 def render(scene: Scene, pose: CameraPose):
     """Ray-trace the scene -> (depth (H, W) mm, rgb (H, W, 3)).
 
@@ -153,6 +154,7 @@ def render(scene: Scene, pose: CameraPose):
     return depth, rgb
 
 
+@jax.jit
 def render_cloud(scene: Scene, pose: CameraPose) -> jnp.ndarray:
     """Render and back-project to the CAMERA frame -> (H, W, 8) cloud.
 

@@ -1,0 +1,84 @@
+"""Native host-runtime tests (C++ codec + golden oracle vs JAX pipeline)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from icp_tpu.runtime import native
+from tests.utils import make_cloud8
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.load()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    return lib
+
+
+def test_native_cloud_roundtrip(lib, tmp_path, rng):
+    cloud = make_cloud8(rng, 2048)
+    p = str(tmp_path / "c.bin")
+    native.write_cloud(p, cloud)
+    back = native.read_cloud(p, max_points=4096)
+    np.testing.assert_array_equal(back, cloud)
+
+
+def test_native_reads_python_written_file(lib, tmp_path, rng):
+    from icp_tpu.sensors.io import write_cloud_bin
+
+    cloud = make_cloud8(rng, 512)
+    p = str(tmp_path / "c.bin")
+    write_cloud_bin(p, cloud)
+    back = native.read_cloud(p, max_points=512)
+    np.testing.assert_array_equal(back, cloud)
+
+
+def test_native_validate(lib, rng):
+    cloud = make_cloud8(rng, 100)
+    cloud[:10, :3] = 0.0  # invalid points
+    assert native.validate_cloud(cloud) == 90
+    bad = cloud.copy()
+    bad[5, 2] = np.nan
+    with pytest.raises(ValueError):
+        native.validate_cloud(bad)
+
+
+def test_native_nn_matches_jax(lib, rng):
+    from icp_tpu.ops.distance import nearest_neighbor_brute
+
+    q = make_cloud8(rng, 128)
+    db = make_cloud8(rng, 256)
+    idx_n, d_n = native.golden_nn(q, db, 150.0)
+    idx_j, d_j = nearest_neighbor_brute(jnp.asarray(q), jnp.asarray(db),
+                                        jnp.float32(150.0))
+    np.testing.assert_array_equal(idx_n, np.asarray(idx_j))
+    np.testing.assert_allclose(d_n, np.asarray(d_j), rtol=1e-4, atol=1.0)
+
+
+def test_native_solve_matches_jax(lib, rng):
+    """The native golden Horn solve must agree with the JAX solver on the
+    same matched pairs."""
+    from icp_tpu.icp.horn import solve_step_transform
+    from icp_tpu.ops import moments
+
+    fixed = make_cloud8(rng, 1024)
+    moving = fixed.copy()
+    # small rigid offset
+    moving[:, :3] = moving[:, :3] + np.array([3.0, -2.0, 1.0], np.float32)
+    d2 = ((fixed[:, :3] - moving[:, :3]) ** 2).sum(1).astype(np.float32)
+
+    Tk = native.golden_solve(moving, fixed, d2, weighted=True,
+                             estimate_scale=False)
+
+    w = moments.compute_weights(jnp.asarray(d2))
+    sw = moments.masked_weight_sum(w)
+    mf, mm = moments.centroids(jnp.asarray(fixed), jnp.asarray(moving), w, sw)
+    S11 = moments.s_matrix(jnp.asarray(moving[:, :3]) - mm,
+                           jnp.asarray(fixed[:, :3]) - mf,
+                           jnp.float32(1e-6), w)
+    qk, tk, sk = solve_step_transform(S11, mf, mm, use_power=True,
+                                      estimate_scale=False)
+    np.testing.assert_allclose(Tk[:4], np.asarray(qk), atol=2e-4)
+    np.testing.assert_allclose(Tk[4:7], np.asarray(tk), atol=2e-2)
+    assert Tk[7] == 1.0
