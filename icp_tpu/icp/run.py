@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from icp_tpu.icp.quaternion import qangle_deg
 from icp_tpu.icp.state import ICPState, identity_state
 from icp_tpu.icp.step import icp_step
-from icp_tpu.ops.sampling import sample_representatives
+from icp_tpu.ops.sampling import sample_representative_indices
 from icp_tpu.rbc.construct import RBCIndex, rbc_construct
 from icp_tpu.runtime.config import Correspondence, ICPConfig, ICPParams
 
@@ -69,8 +69,11 @@ def build_index(fixed8: jnp.ndarray, params: ICPParams,
     Mirrors ``ICPStep::buildRBC`` = fReps.run() + rbcC.run()
     (reference cpp:3445-3450).
     """
-    reps = sample_representatives(fixed8, config.n_r, config.rep_grid)
-    return rbc_construct(fixed8, reps, params.alpha, config.bin_capacity)
+    rep_ids = sample_representative_indices(fixed8.shape[0], config.n_r,
+                                            config.rep_grid)
+    reps = fixed8[rep_ids]
+    return rbc_construct(fixed8, reps, params.alpha, config.bin_capacity,
+                         rep_db_ids=rep_ids)
 
 
 @partial(jax.jit, static_argnames=("config",))

@@ -64,20 +64,30 @@ def get_representatives(landmarks8: jnp.ndarray, n_ry: int, n_rx: int) -> jnp.nd
     return reps.reshape(n_ry * n_rx, 8)
 
 
+def sample_representative_indices(n: int, n_r: int,
+                                  grid: tuple[int, int] | None = None
+                                  ) -> jnp.ndarray:
+    """Indices of the sampled representatives within the landmark set.
+
+    Representatives ARE landmarks at statically known positions, so their
+    database indices never need a search (used to skip the RBC construct's
+    rep->database argmin)."""
+    if n == LM_GRID * LM_GRID and grid is not None:
+        return representative_landmark_indices(*grid)
+    step = n // n_r
+    return (jnp.arange(n_r) * step + max(step // 2 - 1, 0)).astype(jnp.int32)
+
+
 def sample_representatives(points8: jnp.ndarray, n_r: int,
                            grid: tuple[int, int] | None = None) -> jnp.ndarray:
     """Representative sampling for an arbitrary-sized landmark set.
 
-    For the canonical 16384-landmark grid this defers to
+    For the canonical 16384-landmark grid this matches
     :func:`get_representatives` (exact reference semantics). For other sizes
     it applies the 1-D analog of the same rule: stride n/n_r with a centered
     offset (step/2 - 1).
     """
-    n = points8.shape[0]
-    if n == LM_GRID * LM_GRID and grid is not None:
-        return get_representatives(points8, *grid)
-    step = n // n_r
-    idx = jnp.arange(n_r) * step + max(step // 2 - 1, 0)
+    idx = sample_representative_indices(points8.shape[0], n_r, grid)
     return points8[idx]
 
 

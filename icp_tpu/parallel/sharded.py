@@ -43,7 +43,7 @@ from icp_tpu.ops.moments import (
     deviations,
     s_matrix,
 )
-from icp_tpu.ops.sampling import sample_representatives
+from icp_tpu.ops.sampling import sample_representative_indices
 from icp_tpu.parallel.mesh import DP_AXIS, MP_AXIS
 from icp_tpu.rbc.construct import RBCIndex, rbc_construct
 from icp_tpu.rbc.grouping import group_by_bin
@@ -255,8 +255,10 @@ def make_sharded_register(mesh, config: ICPConfig):
              out_specs=P(),
              check_vma=False)
     def _run(fixed8, moving_local, params):
-        reps = sample_representatives(fixed8, config.n_r, config.rep_grid)
-        index = rbc_construct(fixed8, reps, params.alpha, config.bin_capacity)
+        rep_ids = sample_representative_indices(
+            fixed8.shape[0], config.n_r, config.rep_grid)
+        index = rbc_construct(fixed8, fixed8[rep_ids], params.alpha,
+                              config.bin_capacity, rep_db_ids=rep_ids)
         return sharded_icp_run(moving_local, index, params, config,
                                n_r_local, query_capacity)
 

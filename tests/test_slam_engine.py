@@ -1,0 +1,79 @@
+"""SLAM engine tests: keyframing, loop closure, optimization, checkpoints."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from icp_tpu import ICPConfig, ICPParams
+from icp_tpu.sensors import synthetic
+from icp_tpu.slam import se3
+from icp_tpu.slam.checkpoint import load_session, save_session
+from icp_tpu.slam.mapping import LoopClosureConfig, SlamEngine
+from icp_tpu.slam.odometry import KeyframePolicy
+
+
+def _engine(max_gap=1):
+    return SlamEngine(
+        ICPParams(alpha=2e2),
+        ICPConfig(estimate_scale=False, max_iterations=40),
+        policy=KeyframePolicy(max_gap=max_gap),
+        loop_config=LoopClosureConfig(min_gap=3, max_distance=100.0),
+    )
+
+
+def _loop_trajectory(n):
+    """A there-and-back path: end returns near the start -> loop closure."""
+    import numpy as np
+
+    poses = []
+    for i in range(n):
+        frac = i / (n - 1)
+        out_and_back = 1.0 - abs(2 * frac - 1.0)  # 0 -> 1 -> 0
+        t = np.array([40.0 * out_and_back, 0.0, 25.0 * out_and_back],
+                     np.float32)
+        ang = 0.01 * out_and_back
+        q = np.array([0, np.sin(ang / 2), 0, np.cos(ang / 2)], np.float32)
+        poses.append(synthetic.CameraPose(jnp.asarray(q), jnp.asarray(t)))
+    return poses
+
+
+def test_engine_tracks_and_closes_loop(rng):
+    scene = synthetic.default_scene()
+    poses = _loop_trajectory(5)
+    eng = _engine(max_gap=1)  # every frame a keyframe
+    for p in poses:
+        eng.process_frame(synthetic.render_cloud(scene, p))
+
+    assert len(eng.trajectory) == 5
+    assert len(eng.map.keyframes) == 5
+    # The return to the start must close at least one loop.
+    assert len(eng.map.loop_closures) >= 1
+    # Optimize; the backend must keep the anchor fixed and not blow up.
+    eng.optimize_map(iterations=5)
+    assert float(jnp.linalg.norm(eng.map.keyframes[0].pose.t)) < 1e-3
+    for kf, gt in zip(eng.map.keyframes, poses):
+        err = np.linalg.norm(np.asarray(kf.pose.t) - np.asarray(gt.t))
+        assert err < 20.0, err
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    scene = synthetic.default_scene()
+    poses = _loop_trajectory(4)
+    eng = _engine(max_gap=1)
+    for p in poses:
+        eng.process_frame(synthetic.render_cloud(scene, p))
+
+    path = save_session(eng, str(tmp_path / "session"))
+    eng2 = load_session(path, _engine(max_gap=1))
+
+    assert len(eng2.trajectory) == len(eng.trajectory)
+    assert len(eng2.map.keyframes) == len(eng.map.keyframes)
+    assert eng2.map.edges == eng.map.edges
+    np.testing.assert_allclose(np.asarray(eng2.trajectory[-1].t),
+                               np.asarray(eng.trajectory[-1].t), atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(eng2.map.keyframes[0].landmarks),
+        np.asarray(eng.map.keyframes[0].landmarks))
+
+    # Resumed engine keeps processing frames.
+    eng2.process_frame(synthetic.render_cloud(scene, poses[0]))
+    assert len(eng2.trajectory) == len(eng.trajectory) + 1
