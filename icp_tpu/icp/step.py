@@ -59,7 +59,12 @@ def _find_correspondences(tm: jnp.ndarray, target: Union[RBCIndex, jnp.ndarray],
         return (flat(res.queries_g), flat(res.matched_g), flat(res.dist_g),
                 flat(res.valid))
     db = target.db if isinstance(target, RBCIndex) else target
-    nn_idx, nn_dist = nearest_neighbor_brute(tm, db, params.alpha)
+    if config.use_pallas and jax.default_backend() != "cpu":
+        from icp_tpu.kernels.brute_nn import nearest_neighbor_brute_pallas
+
+        nn_idx, nn_dist = nearest_neighbor_brute_pallas(tm, db, params.alpha)
+    else:
+        nn_idx, nn_dist = nearest_neighbor_brute(tm, db, params.alpha)
     return tm, db[nn_idx], nn_dist, None
 
 

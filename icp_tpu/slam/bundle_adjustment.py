@@ -174,3 +174,78 @@ def ba_solve(problem: BAProblem, iterations: int = 5, max_degree: int = 8,
 def ba_cost(problem: BAProblem) -> jnp.ndarray:
     r0, _, _, _ = _linearize(problem)
     return jnp.sum(r0 * r0 * problem.obs_w[:, None])
+
+
+def make_sharded_ba(mesh, n_cams: int, iterations: int = 5,
+                    max_degree: int = 8, damping: float = 1e-4,
+                    fix_first: bool = True):
+    """Distributed BA: landmarks + their observations sharded over ``dp``.
+
+    Sharding contract: the caller partitions LANDMARKS over dp and passes,
+    per shard, the local slice of ``points`` plus ALL observations of those
+    landmarks (observation ``obs_point`` indices are LOCAL). Poses are
+    replicated (the keyframe set is small).
+
+    Per GN iteration each shard computes its local Schur partial
+    S_local = Hcc_local - W Hll^-1 W^T and rhs partial from its landmarks,
+    ONE ``psum`` over dp combines them (the Schur-complement-over-
+    collectives design of SURVEY.md §2.6), the dense (6N)^2 camera solve is
+    replicated, and landmark back-substitution is shard-local. Per-iteration
+    collective payload: (6N)^2 + 6N floats.
+
+    Returns ``run(problem_local) -> problem_local`` to be called on
+    dp-sharded ``BAProblem`` pytrees under ``jit`` (in_specs via shard_map).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from icp_tpu.parallel.mesh import DP_AXIS
+
+    n = n_cams
+
+    def gn_local(prob: BAProblem) -> BAProblem:
+        def one_iter(carry, _):
+            p = carry
+            r0, A, B, w = _linearize(p)
+            S, rhs, Hll_inv, bp, C, g = _schur_system(
+                p, r0, A, B, w, max_degree, damping)
+            # Combine Schur partials across landmark shards.
+            S = jax.lax.psum(S, DP_AXIS)
+            rhs = jax.lax.psum(rhs, DP_AXIS)
+            if fix_first:
+                anchor = jnp.zeros((6 * n,), S.dtype).at[:6].set(1e12)
+                S = S + jnp.diag(anchor)
+            S = S + damping * jnp.eye(6 * n, dtype=S.dtype)
+            dx_c = -jnp.linalg.solve(S, rhs).reshape(n, 6)
+
+            cam_g = p.obs_cam[g.member]
+            Cg = jnp.where(g.valid[..., None, None], C[g.member], 0.0)
+            wtx = jnp.einsum("ldim,ldi->lm", Cg, dx_c[cam_g])
+            dp_pts = -jnp.einsum("lkm,lm->lk", Hll_inv, bp + wtx)
+
+            new_pose = jax.vmap(
+                lambda q, t, xi: se3.retract(se3.Pose(q, t), xi))(
+                p.pose_q, p.pose_t, dx_c)
+            return p._replace(pose_q=new_pose.q, pose_t=new_pose.t,
+                              points=p.points + dp_pts), None
+
+        out, _ = jax.lax.scan(one_iter, prob, None, length=iterations)
+        return out
+
+    sharded = shard_map(
+        gn_local, mesh=mesh,
+        in_specs=(BAProblem(
+            pose_q=P(), pose_t=P(),
+            points=P(DP_AXIS),
+            obs_cam=P(DP_AXIS), obs_point=P(DP_AXIS),
+            obs_z=P(DP_AXIS), obs_w=P(DP_AXIS),
+        ),),
+        out_specs=BAProblem(
+            pose_q=P(), pose_t=P(),
+            points=P(DP_AXIS),
+            obs_cam=P(DP_AXIS), obs_point=P(DP_AXIS),
+            obs_z=P(DP_AXIS), obs_w=P(DP_AXIS),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
