@@ -22,6 +22,7 @@ Layer map (vs the reference's six layers, see SURVEY.md §1):
 from icp_tpu.runtime.config import (
     ICPConfig,
     ICPParams,
+    Objective,
     RotationMode,
     Weighting,
     Correspondence,
@@ -37,6 +38,7 @@ __version__ = "0.1.0"
 __all__ = [
     "ICPConfig",
     "ICPParams",
+    "Objective",
     "RotationMode",
     "Weighting",
     "Correspondence",

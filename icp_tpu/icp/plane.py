@@ -1,0 +1,73 @@
+"""Point-to-plane incremental solver — an accuracy extension over the
+reference (which is point-to-point only).
+
+Point-to-point ICP against a sampled surface has a tangential bias floor set
+by the sample pitch (~15 mm on a wall at 2 m for the reference's landmark
+grid): matches lock onto the lattice and increments vanish. The
+point-to-plane objective
+
+    min_{omega, t}  sum_i w_i ((R m_i + t - f_i) . n_i)^2
+
+constrains only the normal direction, letting points slide along the
+surface to the true optimum. One linearized Gauss-Newton step per ICP
+iteration (standard small-angle form: R m ~ m + omega x m):
+
+    r_i = (m_i - f_i) . n_i
+    J_i = [ n_i ;  m_i x n_i ]           (d/dt ; d/domega)
+    (sum w J J^T) [t; omega] = -(sum w J r)
+
+The 6x6 solve is tiny; the row reductions are one (6, m) x (m, 6) MXU
+matmul. Scale is not part of this objective (s_k = 1).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from icp_tpu.icp.quaternion import qnormalize
+
+
+def solve_point_to_plane(mv_xyz: jnp.ndarray, f_xyz: jnp.ndarray,
+                         normals: jnp.ndarray,
+                         weights: Optional[jnp.ndarray] = None,
+                         mask: Optional[jnp.ndarray] = None,
+                         damping: float = 1e-6):
+    """One GN step of the point-to-plane objective.
+
+    Args:
+      mv_xyz: (n, 3) transformed moving points.
+      f_xyz: (n, 3) matched fixed points.
+      normals: (n, 3) fixed-surface unit normals (zero rows = no
+        constraint; they self-mask via |n| = 0).
+      weights: optional (n,) residual weights.
+      mask: optional (n,) validity mask.
+    Returns:
+      (qk (4,) unit quaternion, tk (3,)) — the incremental transform.
+    """
+    r = jnp.sum((mv_xyz - f_xyz) * normals, axis=-1)  # (n,)
+    J = jnp.concatenate([normals, jnp.cross(mv_xyz, normals)], axis=-1)  # (n, 6)
+
+    w = jnp.ones_like(r) if weights is None else weights
+    if mask is not None:
+        w = jnp.where(mask, w, 0.0)
+
+    Jw = J * w[:, None]
+    H = jnp.dot(Jw.T, J, precision=jax.lax.Precision.HIGHEST)  # (6, 6)
+    b = Jw.T @ r  # (6,)
+    H = H + damping * jnp.eye(6, dtype=H.dtype)
+    delta = -jnp.linalg.solve(H, b)
+
+    tk = delta[:3]
+    omega = delta[3:]
+    # Small-angle rotation vector -> unit quaternion (exact exponential).
+    angle = jnp.linalg.norm(omega)
+    safe = jnp.where(angle > 1e-12, angle, 1.0)
+    axis = omega / safe
+    half = 0.5 * angle
+    qk = jnp.concatenate([jnp.sin(half) * axis, jnp.cos(half)[None]])
+    qk = jnp.where(angle > 1e-12, qk,
+                   jnp.array([0.0, 0.0, 0.0, 1.0], mv_xyz.dtype))
+    return qnormalize(qk), tk

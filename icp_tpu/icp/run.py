@@ -23,7 +23,7 @@ from icp_tpu.icp.state import ICPState, identity_state
 from icp_tpu.icp.step import icp_step
 from icp_tpu.ops.sampling import sample_representative_indices
 from icp_tpu.rbc.construct import RBCIndex, rbc_construct
-from icp_tpu.runtime.config import Correspondence, ICPConfig, ICPParams
+from icp_tpu.runtime.config import Correspondence, ICPConfig, ICPParams, Objective
 
 
 def converged(state: ICPState, params: ICPParams) -> jnp.ndarray:
@@ -72,8 +72,14 @@ def build_index(fixed8: jnp.ndarray, params: ICPParams,
     rep_ids = sample_representative_indices(fixed8.shape[0], config.n_r,
                                             config.rep_grid)
     reps = fixed8[rep_ids]
+    if config.objective is Objective.PLANE:
+        from icp_tpu.ops.normals import normals_for
+
+        normals = normals_for(fixed8)
+    else:
+        normals = None
     return rbc_construct(fixed8, reps, params.alpha, config.bin_capacity,
-                         rep_db_ids=rep_ids)
+                         rep_db_ids=rep_ids, normals=normals)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -85,7 +91,9 @@ def register(fixed8: jnp.ndarray, moving8: jnp.ndarray,
 
     One jit dispatch end to end.
     """
-    if config.correspondence is Correspondence.RBC:
+    if (config.correspondence is Correspondence.RBC
+            or config.objective is Objective.PLANE):
+        # PLANE needs the index even in brute mode (it carries the normals).
         target: Union[RBCIndex, jnp.ndarray] = build_index(fixed8, params, config)
     else:
         target = fixed8

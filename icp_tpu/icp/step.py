@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from icp_tpu.icp.horn import solve_step_transform
+from icp_tpu.icp.plane import solve_point_to_plane
 from icp_tpu.icp.quaternion import qmul, qnormalize, qrotate, transform_points
 from icp_tpu.icp.state import ICPState
 from icp_tpu.ops.distance import nearest_neighbor_brute
@@ -34,12 +35,20 @@ from icp_tpu.ops.moments import (
 )
 from icp_tpu.rbc.construct import RBCIndex
 from icp_tpu.rbc.search import rbc_search_grouped
-from icp_tpu.runtime.config import Correspondence, ICPConfig, ICPParams, RotationMode, Weighting
+from icp_tpu.runtime.config import (
+    Correspondence,
+    ICPConfig,
+    ICPParams,
+    Objective,
+    RotationMode,
+    Weighting,
+)
 
 
 def _find_correspondences(tm: jnp.ndarray, target: Union[RBCIndex, jnp.ndarray],
                           params: ICPParams, config: ICPConfig):
-    """NN search: (moving (n, 8), matched_fixed (n, 8), nn_dist (n,), mask).
+    """NN search: (moving (n, 8), matched_fixed (n, 8), nn_dist (n,), mask,
+    matched_normals (n, 3)).
 
     RBC mode returns everything in the bin-grouped (permuted) layout with a
     validity mask — the reductions are permutation-invariant, so nothing is
@@ -47,6 +56,7 @@ def _find_correspondences(tm: jnp.ndarray, target: Union[RBCIndex, jnp.ndarray],
     src/ICP/algorithms.cpp:3352-3363). Brute mode returns original order
     with mask=None.
     """
+    want_normals = config.objective is Objective.PLANE
     if config.correspondence is Correspondence.RBC:
         assert isinstance(target, RBCIndex), "RBC mode needs an RBCIndex"
         # Pallas kernels compile only on TPU; the CPU test backend takes the
@@ -54,10 +64,11 @@ def _find_correspondences(tm: jnp.ndarray, target: Union[RBCIndex, jnp.ndarray],
         use_pallas = config.use_pallas and jax.default_backend() != "cpu"
         res = rbc_search_grouped(target, tm, params.alpha,
                                  config.query_capacity,
-                                 use_pallas=use_pallas)
+                                 use_pallas=use_pallas,
+                                 with_normals=want_normals)
         flat = lambda x: x.reshape((-1,) + x.shape[2:])
         return (flat(res.queries_g), flat(res.matched_g), flat(res.dist_g),
-                flat(res.valid))
+                flat(res.valid), flat(res.matched_normals))
     db = target.db if isinstance(target, RBCIndex) else target
     if config.use_pallas and jax.default_backend() != "cpu":
         from icp_tpu.kernels.brute_nn import nearest_neighbor_brute_pallas
@@ -65,7 +76,13 @@ def _find_correspondences(tm: jnp.ndarray, target: Union[RBCIndex, jnp.ndarray],
         nn_idx, nn_dist = nearest_neighbor_brute_pallas(tm, db, params.alpha)
     else:
         nn_idx, nn_dist = nearest_neighbor_brute(tm, db, params.alpha)
-    return tm, db[nn_idx], nn_dist, None
+    if want_normals:
+        assert isinstance(target, RBCIndex), \
+            "PLANE objective needs an RBCIndex carrying normals"
+        nrm = target.normals[nn_idx]
+    else:
+        nrm = jnp.zeros((tm.shape[0], 3), tm.dtype)
+    return tm, db[nn_idx], nn_dist, None, nrm
 
 
 def icp_step(state: ICPState, moving8: jnp.ndarray,
@@ -86,8 +103,8 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
     tm = transform_points(moving8, state.q, state.t, state.s)
 
     # 2. Correspondence search (grouped layout + mask in RBC mode).
-    mv, matched_f, nn_dist, mask = _find_correspondences(tm, target, params,
-                                                         config)
+    mv, matched_f, nn_dist, mask, matched_n = _find_correspondences(
+        tm, target, params, config)
 
     # 3. Optional residual weighting (reference icpComputeReduceWeights).
     if config.weighting is Weighting.WEIGHTED:
@@ -98,18 +115,24 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
     else:
         w, sum_w = None, None
 
-    # 4-5. Centroids and deviations.
-    mean_f, mean_m = centroids(matched_f, mv, w, sum_w, mask)
-    dev_f = deviations(matched_f, mean_f)
-    dev_m = deviations(mv, mean_m)
+    if config.objective is Objective.PLANE:
+        # Point-to-plane Gauss-Newton step (beyond-reference accuracy mode).
+        qk, tk = solve_point_to_plane(mv[..., :3], matched_f[..., :3],
+                                      matched_n, w, mask)
+        sk = jnp.ones((), mv.dtype)
+    else:
+        # 4-5. Centroids and deviations.
+        mean_f, mean_m = centroids(matched_f, mv, w, sum_w, mask)
+        dev_f = deviations(matched_f, mean_f)
+        dev_m = deviations(mv, mean_m)
 
-    # 6. Cross-covariance + scale constituents, then the rotation solve.
-    S11 = s_matrix(dev_m, dev_f, params.c, w, mask)
-    qk, tk, sk = solve_step_transform(
-        S11, mean_f, mean_m,
-        use_power=config.rotation is RotationMode.POWER,
-        estimate_scale=config.estimate_scale,
-    )
+        # 6. Cross-covariance + scale constituents, then the rotation solve.
+        S11 = s_matrix(dev_m, dev_f, params.c, w, mask)
+        qk, tk, sk = solve_step_transform(
+            S11, mean_f, mean_m,
+            use_power=config.rotation is RotationMode.POWER,
+            estimate_scale=config.estimate_scale,
+        )
 
     # 7. Accumulate (reference cpp:3491-3494):
     #    R = R_k R;  t = s_k R_k t + t_k;  s = s_k s.

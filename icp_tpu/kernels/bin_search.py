@@ -31,17 +31,19 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BIN_BATCH = 16
 
 
-def _bin_search_kernel(qg_w_ref, bins_c_ref, sq_b_ref, bins_ref,
+def _bin_search_kernel(qg_w_ref, bins_c_ref, sq_b_ref, vals_ref,
                        score_ref, matched_ref):
     """One grid step: BB bins of the grouped search, fully in VMEM.
 
-    Shapes (BB = bin batch, cq = query capacity, cb = bin capacity):
+    Shapes (BB = bin batch, cq = query capacity, cb = bin capacity,
+    V = per-point payload width — 8 for points alone, 8 + padded normals
+    when the point-to-plane objective needs them):
       qg_w_ref:    (BB, cq, 8)  metric-weighted centered queries
       bins_c_ref:  (BB, cb, 8)  centered bin points
       sq_b_ref:    (BB, cb)     masked |b|^2 row (+inf on invalid slots)
-      bins_ref:    (BB, cb, 8)  raw bin points (for the matched gather)
+      vals_ref:    (BB, cb, V)  per-point payload (for the matched gather)
       score_ref:   (BB, cq)     out: winning score (sq_b - 2 q.b)
-      matched_ref: (BB, cq, 8)  out: winning bin point
+      matched_ref: (BB, cq, V)  out: winning payload
     """
     qg_w = qg_w_ref[:]
     bins_c = bins_c_ref[:]
@@ -59,12 +61,12 @@ def _bin_search_kernel(qg_w_ref, bins_c_ref, sq_b_ref, bins_ref,
     best_slot = jnp.argmin(scores, axis=-1)  # (BB, cq)
     score_ref[:] = jnp.min(scores, axis=-1)
 
-    # Matched points via one-hot matmul — VMEM-resident, no dynamic gather.
+    # Matched payload via one-hot matmul — VMEM-resident, no dynamic gather.
     cb = bins_c.shape[1]
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, best_slot.shape + (cb,), 2)
     one_hot = (slot_ids == best_slot[..., None]).astype(jnp.float32)
     matched_ref[:] = jax.lax.dot_general(
-        one_hot, bins_ref[:],
+        one_hot, vals_ref[:],
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
@@ -72,7 +74,7 @@ def _bin_search_kernel(qg_w_ref, bins_c_ref, sq_b_ref, bins_ref,
 
 @functools.partial(jax.jit, static_argnames=("bin_batch", "interpret"))
 def bin_search_pallas(qg_w: jnp.ndarray, bins_c: jnp.ndarray,
-                      sq_b_masked: jnp.ndarray, bins: jnp.ndarray,
+                      sq_b_masked: jnp.ndarray, vals: jnp.ndarray,
                       *, bin_batch: int = DEFAULT_BIN_BATCH,
                       interpret: bool = False):
     """Fused grouped bin search.
@@ -81,14 +83,17 @@ def bin_search_pallas(qg_w: jnp.ndarray, bins_c: jnp.ndarray,
       qg_w: (n_r, cq, 8) metric-weighted per-bin-centered queries.
       bins_c: (n_r, cb, 8) centered bin points.
       sq_b_masked: (n_r, cb) masked |b|^2 (+inf on invalid slots).
-      bins: (n_r, cb, 8) raw bin points.
+      vals: (n_r, cb, V) per-point payload returned for the winner — the raw
+        bin points (V = 8), optionally concatenated with surface normals for
+        the point-to-plane objective.
       bin_batch: bins per grid step (must divide n_r).
       interpret: run in the Pallas interpreter (CPU tests).
     Returns:
-      (best_score (n_r, cq), matched (n_r, cq, 8)).
+      (best_score (n_r, cq), matched (n_r, cq, V)).
     """
     n_r, cq, d = qg_w.shape
     cb = bins_c.shape[1]
+    v = vals.shape[2]
     assert n_r % bin_batch == 0, (n_r, bin_batch)
     grid = (n_r // bin_batch,)
 
@@ -105,20 +110,20 @@ def bin_search_pallas(qg_w: jnp.ndarray, bins_c: jnp.ndarray,
             pl.BlockSpec((bin_batch, cq, d), idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((bin_batch, cb, d), idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((bin_batch, cb), idx2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bin_batch, cb, d), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bin_batch, cb, v), idx, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((bin_batch, cq), idx2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bin_batch, cq, d), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bin_batch, cq, v), idx, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_r, cq), jnp.float32),
-            jax.ShapeDtypeStruct((n_r, cq, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_r, cq, v), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_r * cq * cb * d * 3 + 2 * n_r * cq * cb * d,
-            bytes_accessed=4 * n_r * (cq * d * 2 + cb * d * 2 + cb + cq),
+            flops=2 * n_r * cq * cb * d * 3 + 2 * n_r * cq * cb * v,
+            bytes_accessed=4 * n_r * (cq * d + cb * d + cb * v + cb + cq * v),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qg_w, bins_c, sq_b_masked, bins)
+    )(qg_w, bins_c, sq_b_masked, vals)

@@ -82,6 +82,8 @@ def _slice_index_for_mp(index: RBCIndex, n_r_local: int) -> RBCIndex:
         bins_centered=sl(index.bins_centered),
         sq_b_masked=sl(index.sq_b_masked),
         alpha=index.alpha,
+        normals=index.normals,
+        bin_normals=sl(index.bin_normals),
     )
 
 

@@ -53,11 +53,14 @@ class RBCIndex(NamedTuple):
     bins_centered: jnp.ndarray
     sq_b_masked: jnp.ndarray
     alpha: jnp.ndarray
+    normals: jnp.ndarray  # (n, 3) fixed-surface normals (zeros if unused)
+    bin_normals: jnp.ndarray  # (n_r, capacity, 3)
 
 
 def rbc_construct(db: jnp.ndarray, reps: jnp.ndarray, alpha,
                   capacity: int,
-                  rep_db_ids: jnp.ndarray | None = None) -> RBCIndex:
+                  rep_db_ids: jnp.ndarray | None = None,
+                  normals: jnp.ndarray | None = None) -> RBCIndex:
     """Build the RBC structure.
 
     Args:
@@ -72,6 +75,8 @@ def rbc_construct(db: jnp.ndarray, reps: jnp.ndarray, alpha,
         The pipeline's representatives ARE database points at statically
         known indices (getReps samples the landmark grid), so pass them and
         skip the argmin over the long axis of the distance matrix.
+      normals: optional (n, 3) fixed-surface normals (for the point-to-plane
+        objective); stored bin-grouped alongside the points.
     Returns:
       RBCIndex pytree.
     """
@@ -96,6 +101,10 @@ def rbc_construct(db: jnp.ndarray, reps: jnp.ndarray, alpha,
     sq_b = jnp.sum((bins_centered * w8) * bins_centered, axis=-1)
     sq_b_masked = jnp.where(layout.valid, sq_b, jnp.inf)
 
+    if normals is None:
+        normals = jnp.zeros((db.shape[0], 3), db.dtype)
+    bin_normals = normals[layout.member]
+
     return RBCIndex(
         reps=reps,
         rep_db_ids=rep_db_ids,
@@ -108,4 +117,6 @@ def rbc_construct(db: jnp.ndarray, reps: jnp.ndarray, alpha,
         bins_centered=bins_centered,
         sq_b_masked=sq_b_masked,
         alpha=jnp.asarray(alpha, db.dtype),
+        normals=normals,
+        bin_normals=bin_normals,
     )

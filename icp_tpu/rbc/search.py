@@ -44,6 +44,8 @@ class GroupedSearchResult(NamedTuple):
       valid: (n_r, cq) slot validity (real query AND non-empty bin).
       n_dropped: scalar — queries not represented (capacity overflow or
         empty bin); vanishingly rare at default capacities.
+      matched_normals: (n_r, cq, 3) matched fixed-surface normals (zeros
+        unless the index carries normals — point-to-plane objective).
     """
 
     queries_g: jnp.ndarray
@@ -51,11 +53,13 @@ class GroupedSearchResult(NamedTuple):
     dist_g: jnp.ndarray
     valid: jnp.ndarray
     n_dropped: jnp.ndarray
+    matched_normals: jnp.ndarray
 
 
 def rbc_search_grouped(index: RBCIndex, queries: jnp.ndarray, alpha,
                        query_capacity: int, use_pallas: bool = False,
-                       interpret: bool = False) -> GroupedSearchResult:
+                       interpret: bool = False,
+                       with_normals: bool = False) -> GroupedSearchResult:
     """RBC search returning bin-grouped results (the hot path).
 
     Identical search semantics to :func:`rbc_search`, but results stay in
@@ -82,9 +86,21 @@ def rbc_search_grouped(index: RBCIndex, queries: jnp.ndarray, alpha,
     if use_pallas:
         from icp_tpu.kernels.bin_search import bin_search_pallas
 
-        best_score, matched_g = bin_search_pallas(
-            qg_w, index.bins_centered, index.sq_b_masked, index.bins,
+        if with_normals:
+            # Payload = points ++ normals (padded to 16 lanes): one one-hot
+            # matmul fetches both for the winner.
+            pad = jnp.zeros(index.bins.shape[:2] + (1,), index.bins.dtype)
+            vals = jnp.concatenate(
+                [index.bins, index.bin_normals, pad], axis=-1)  # V = 12
+        else:
+            vals = index.bins
+        best_score, matched_vals = bin_search_pallas(
+            qg_w, index.bins_centered, index.sq_b_masked, vals,
             interpret=interpret)
+        matched_g = matched_vals[..., :8]
+        matched_n = (matched_vals[..., 8:11] if with_normals
+                     else jnp.zeros(matched_vals.shape[:2] + (3,),
+                                    matched_vals.dtype))
         best_d2 = jnp.maximum(best_score + sq_q, 0.0)
         valid = qlayout.valid & jnp.isfinite(best_score)
         n_dropped = queries.shape[0] - jnp.sum(valid.astype(jnp.int32))
@@ -94,6 +110,7 @@ def rbc_search_grouped(index: RBCIndex, queries: jnp.ndarray, alpha,
             dist_g=jnp.where(valid, best_d2, 0.0),
             valid=valid,
             n_dropped=n_dropped,
+            matched_normals=matched_n,
         )
 
     cross = jnp.einsum("rqd,rcd->rqc", qg_w, index.bins_centered,
@@ -111,6 +128,11 @@ def rbc_search_grouped(index: RBCIndex, queries: jnp.ndarray, alpha,
     best_d2 = jnp.maximum(best_score + sq_q, 0.0)
     matched_g = jnp.take_along_axis(
         index.bins, best_slot[..., None], axis=1)
+    if with_normals:
+        matched_n = jnp.take_along_axis(
+            index.bin_normals, best_slot[..., None], axis=1)
+    else:
+        matched_n = jnp.zeros(matched_g.shape[:2] + (3,), matched_g.dtype)
 
     valid = qlayout.valid & jnp.isfinite(best_score)
     n_dropped = queries.shape[0] - jnp.sum(valid.astype(jnp.int32))
@@ -120,6 +142,7 @@ def rbc_search_grouped(index: RBCIndex, queries: jnp.ndarray, alpha,
         dist_g=jnp.where(valid, best_d2, 0.0),
         valid=valid,
         n_dropped=n_dropped,
+        matched_normals=matched_n,
     )
 
 

@@ -41,6 +41,21 @@ class Weighting(enum.Enum):
     WEIGHTED = "weighted"
 
 
+class Objective(enum.Enum):
+    """Error metric of the alignment solve.
+
+    POINT is the reference's objective (Horn absolute orientation on matched
+    pairs). PLANE is a beyond-reference extension: point-to-plane
+    Gauss-Newton against fixed-surface normals, which removes the
+    tangential discretization bias of matching a sampled surface (sub-mm
+    where POINT floors at a few mm on the landmark grid). PLANE implies
+    rigid (s_k = 1) and needs organized landmarks for normal estimation.
+    """
+
+    POINT = "point"
+    PLANE = "plane"
+
+
 class Correspondence(enum.Enum):
     """Nearest-neighbor search strategy.
 
@@ -98,6 +113,7 @@ class ICPConfig:
     query_capacity: int = 0  # 0 -> auto: 4 * m / n_r
     use_pallas: bool = True
     estimate_scale: bool = True
+    objective: Objective = Objective.POINT
 
     def __post_init__(self):
         if self.m <= 0:
