@@ -30,6 +30,41 @@ import jax.numpy as jnp
 from icp_tpu.icp.quaternion import qnormalize
 
 
+def plane_system_partials(mv_xyz: jnp.ndarray, f_xyz: jnp.ndarray,
+                          normals: jnp.ndarray,
+                          weights: Optional[jnp.ndarray] = None,
+                          mask: Optional[jnp.ndarray] = None):
+    """Shard-local (H (6, 6), b (6,)) partial sums of the GN normal system —
+    psum these across shards, then :func:`solve_plane_system` (distributed
+    form used by icp_tpu.parallel)."""
+    r = jnp.sum((mv_xyz - f_xyz) * normals, axis=-1)
+    J = jnp.concatenate([normals, jnp.cross(mv_xyz, normals)], axis=-1)
+    w = jnp.ones_like(r) if weights is None else weights
+    if mask is not None:
+        w = jnp.where(mask, w, 0.0)
+    Jw = J * w[:, None]
+    H = jnp.dot(Jw.T, J, precision=jax.lax.Precision.HIGHEST)
+    b = Jw.T @ r
+    return H, b
+
+
+def solve_plane_system(H: jnp.ndarray, b: jnp.ndarray,
+                       damping: float = 1e-6):
+    """Solve the (possibly psum-combined) 6x6 system -> (qk, tk)."""
+    H = H + damping * jnp.eye(6, dtype=H.dtype)
+    delta = -jnp.linalg.solve(H, b)
+    tk = delta[:3]
+    omega = delta[3:]
+    angle = jnp.linalg.norm(omega)
+    safe = jnp.where(angle > 1e-12, angle, 1.0)
+    axis = omega / safe
+    half = 0.5 * angle
+    qk = jnp.concatenate([jnp.sin(half) * axis, jnp.cos(half)[None]])
+    qk = jnp.where(angle > 1e-12, qk,
+                   jnp.array([0.0, 0.0, 0.0, 1.0], H.dtype))
+    return qnormalize(qk), tk
+
+
 def solve_point_to_plane(mv_xyz: jnp.ndarray, f_xyz: jnp.ndarray,
                          normals: jnp.ndarray,
                          weights: Optional[jnp.ndarray] = None,
@@ -47,27 +82,5 @@ def solve_point_to_plane(mv_xyz: jnp.ndarray, f_xyz: jnp.ndarray,
     Returns:
       (qk (4,) unit quaternion, tk (3,)) — the incremental transform.
     """
-    r = jnp.sum((mv_xyz - f_xyz) * normals, axis=-1)  # (n,)
-    J = jnp.concatenate([normals, jnp.cross(mv_xyz, normals)], axis=-1)  # (n, 6)
-
-    w = jnp.ones_like(r) if weights is None else weights
-    if mask is not None:
-        w = jnp.where(mask, w, 0.0)
-
-    Jw = J * w[:, None]
-    H = jnp.dot(Jw.T, J, precision=jax.lax.Precision.HIGHEST)  # (6, 6)
-    b = Jw.T @ r  # (6,)
-    H = H + damping * jnp.eye(6, dtype=H.dtype)
-    delta = -jnp.linalg.solve(H, b)
-
-    tk = delta[:3]
-    omega = delta[3:]
-    # Small-angle rotation vector -> unit quaternion (exact exponential).
-    angle = jnp.linalg.norm(omega)
-    safe = jnp.where(angle > 1e-12, angle, 1.0)
-    axis = omega / safe
-    half = 0.5 * angle
-    qk = jnp.concatenate([jnp.sin(half) * axis, jnp.cos(half)[None]])
-    qk = jnp.where(angle > 1e-12, qk,
-                   jnp.array([0.0, 0.0, 0.0, 1.0], mv_xyz.dtype))
-    return qnormalize(qk), tk
+    H, b = plane_system_partials(mv_xyz, f_xyz, normals, weights, mask)
+    return solve_plane_system(H, b, damping)

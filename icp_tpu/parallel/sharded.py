@@ -51,6 +51,7 @@ from icp_tpu.runtime.config import (
     Correspondence,
     ICPConfig,
     ICPParams,
+    Objective,
     RotationMode,
     Weighting,
 )
@@ -160,7 +161,7 @@ def _sharded_rbc_nn(index: RBCIndex, queries: jnp.ndarray, params: ICPParams,
     win2 = jnp.argmin(nd_all, axis=0)
     nn_dist = jnp.min(nd_all, axis=0)
     nn_id = jnp.take_along_axis(ni_all, win2[None, :], axis=0)[0]
-    return index.db[nn_id], nn_dist
+    return index.db[nn_id], nn_dist, nn_id
 
 
 def sharded_icp_step(state: ICPState, moving_local: jnp.ndarray,
@@ -173,42 +174,53 @@ def sharded_icp_step(state: ICPState, moving_local: jnp.ndarray,
     tm = transform_points(moving_local, state.q, state.t, state.s)
 
     if config.correspondence is Correspondence.RBC:
-        matched_f, nn_dist = _sharded_rbc_nn(
+        matched_f, nn_dist, nn_id = _sharded_rbc_nn(
             index, tm, params, config, n_r_local, query_capacity)
     else:
         d2 = pairwise_sq_dists(tm, index.db, params.alpha)
-        nn_idx = jnp.argmin(d2, axis=1)
+        nn_id = jnp.argmin(d2, axis=1)
         nn_dist = jnp.min(d2, axis=1)
-        matched_f = index.db[nn_idx]
+        matched_f = index.db[nn_id]
 
     both = (DP_AXIS, MP_AXIS)
+    mp_size = jax.lax.axis_size(MP_AXIS)
     if config.weighting is Weighting.WEIGHTED:
         w = compute_weights(nn_dist)
     else:
         w = None
 
-    sum_f, sum_m, denom = centroid_partials(matched_f, tm, w)
-    # NOTE: dp shards hold disjoint queries; mp shards all hold the same
-    # queries, so partials must NOT be double counted over mp — divide by
-    # the mp axis size after the psum (cheaper than a second collective).
-    mp_size = jax.lax.axis_size(MP_AXIS)
-    sum_f = jax.lax.psum(sum_f, both) / mp_size
-    sum_m = jax.lax.psum(sum_m, both) / mp_size
-    denom = jax.lax.psum(denom, both) / mp_size
-    mean_f = sum_f / denom
-    mean_m = sum_m / denom
+    if config.objective is Objective.PLANE:
+        # Point-to-plane: per-shard 6x6 partials, one psum, replicated solve.
+        # (dp shards are disjoint; mp shards duplicate — divide after psum.)
+        from icp_tpu.icp.plane import plane_system_partials, solve_plane_system
 
-    dev_f = deviations(matched_f, mean_f)
-    dev_m = deviations(tm, mean_m)
-    S11 = s_matrix(dev_m, dev_f, params.c, w)
-    S11 = jax.lax.psum(S11, both) / mp_size
-    if config.weighting is Weighting.WEIGHTED:
-        # s_matrix uses raw weights; nothing further needed (ref semantics).
-        pass
+        H, b = plane_system_partials(tm[..., :3], matched_f[..., :3],
+                                     index.normals[nn_id], w)
+        H = jax.lax.psum(H, both) / mp_size
+        b = jax.lax.psum(b, both) / mp_size
+        qk, tk = solve_plane_system(H, b)
+        sk = jnp.ones((), tm.dtype)
+    else:
+        sum_f, sum_m, denom = centroid_partials(matched_f, tm, w)
+        # NOTE: dp shards hold disjoint queries; mp shards all hold the same
+        # queries, so partials must NOT be double counted over mp — divide
+        # by the mp axis size after the psum (cheaper than a second
+        # collective).
+        sum_f = jax.lax.psum(sum_f, both) / mp_size
+        sum_m = jax.lax.psum(sum_m, both) / mp_size
+        denom = jax.lax.psum(denom, both) / mp_size
+        mean_f = sum_f / denom
+        mean_m = sum_m / denom
 
-    qk, tk, sk = solve_step_transform(
-        S11, mean_f, mean_m, use_power=config.rotation is RotationMode.POWER,
-        estimate_scale=config.estimate_scale)
+        dev_f = deviations(matched_f, mean_f)
+        dev_m = deviations(tm, mean_m)
+        S11 = s_matrix(dev_m, dev_f, params.c, w)
+        S11 = jax.lax.psum(S11, both) / mp_size
+
+        qk, tk, sk = solve_step_transform(
+            S11, mean_f, mean_m,
+            use_power=config.rotation is RotationMode.POWER,
+            estimate_scale=config.estimate_scale)
 
     q = qnormalize(qmul(qk, state.q))
     t = sk * qrotate(qk, state.t) + tk
@@ -259,8 +271,15 @@ def make_sharded_register(mesh, config: ICPConfig):
     def _run(fixed8, moving_local, params):
         rep_ids = sample_representative_indices(
             fixed8.shape[0], config.n_r, config.rep_grid)
+        if config.objective is Objective.PLANE:
+            from icp_tpu.ops.normals import normals_for
+
+            normals = normals_for(fixed8)
+        else:
+            normals = None
         index = rbc_construct(fixed8, fixed8[rep_ids], params.alpha,
-                              config.bin_capacity, rep_db_ids=rep_ids)
+                              config.bin_capacity, rep_db_ids=rep_ids,
+                              normals=normals)
         return sharded_icp_run(moving_local, index, params, config,
                                n_r_local, query_capacity)
 

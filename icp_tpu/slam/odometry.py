@@ -109,6 +109,42 @@ def run_odometry(
     return result
 
 
+def odometry_chain_device(lms_seq: jnp.ndarray, params: ICPParams,
+                          config: ICPConfig):
+    """The WHOLE odometry chain as one device dispatch.
+
+    ``lax.scan`` over consecutive landmark pairs: per step, build the RBC
+    index over the previous frame, run the full registration
+    ``lax.while_loop``, and compose the world pose — zero host involvement
+    for the entire sequence (the per-frame analog of the per-iteration win
+    over the reference).
+
+    Args:
+      lms_seq: (T, m, 8) landmark sets of T consecutive frames.
+    Returns:
+      (world_q (T, 4), world_t (T, 3), rel_k (T-1,) iteration counts).
+    """
+    from icp_tpu.icp.quaternion import qidentity, qmul, qnormalize, qrotate
+    from icp_tpu.icp.run import build_index, icp_run
+
+    def step(carry, pair):
+        q_w, t_w = carry
+        prev, cur = pair
+        index = build_index(prev, params, config)
+        st = icp_run(cur, index, params, config)
+        # world_from_cur = world_from_prev * prev_from_cur
+        q_new = qnormalize(qmul(q_w, st.q))
+        t_new = qrotate(q_w, st.t) + t_w
+        return (q_new, t_new), (q_new, t_new, st.k)
+
+    init = (qidentity(lms_seq.dtype), jnp.zeros((3,), lms_seq.dtype))
+    pairs = (lms_seq[:-1], lms_seq[1:])
+    _, (qs, ts, ks) = jax.lax.scan(step, init, pairs)
+    world_q = jnp.concatenate([init[0][None], qs], axis=0)
+    world_t = jnp.concatenate([jnp.zeros((1, 3), lms_seq.dtype), ts], axis=0)
+    return world_q, world_t, ks
+
+
 def absolute_trajectory_error(est: list[Pose], gt: list[Pose]) -> float:
     """RMS translational ATE after aligning the first poses (both
     trajectories are expressed relative to their own frame 0 here, so no

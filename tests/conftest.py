@@ -27,6 +27,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    """--profiling: per-op CPU-vs-accelerated timing, mirroring the
+    reference's test flag (src/ICP/tests/helper_funcs.cpp:66-75)."""
+    parser.addoption("--profiling", action="store_true", default=False,
+                     help="print per-op timing comparisons")
+
+
+@pytest.fixture
+def profiling(request):
+    return request.config.getoption("--profiling")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

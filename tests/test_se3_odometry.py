@@ -42,6 +42,32 @@ def test_se3_apply_matches_compose(rng):
     np.testing.assert_allclose(out, pts @ R.T + np.asarray(p.t), atol=1e-5)
 
 
+def test_odometry_chain_device_matches_host_chain(rng):
+    """The single-dispatch scan odometry chain must agree with the
+    host-driven chain on the same frames."""
+    import jax
+
+    from icp_tpu.slam.odometry import odometry_chain_device, run_odometry
+
+    scene = synthetic.default_scene()
+    poses_gt = synthetic.orbit_trajectory(3, radius_mm=30.0, yaw_rad=0.02)
+    frames = [synthetic.render_cloud(scene, p) for p in poses_gt]
+    config = ICPConfig(estimate_scale=False, max_iterations=20)
+    params = ICPParams(alpha=2e2).as_f32()
+
+    host = run_odometry(frames, params, config)
+
+    from icp_tpu.slam.odometry import frame_to_landmarks
+    lms = jnp.stack([frame_to_landmarks(f) for f in frames])
+    q, t, ks = jax.block_until_ready(
+        jax.jit(lambda s: odometry_chain_device(s, params, config))(lms))
+
+    assert q.shape == (3, 4) and t.shape == (3, 3)
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(t[i]),
+                                   np.asarray(host.poses[i].t), atol=1e-2)
+
+
 def test_odometry_chain_recovers_trajectory(rng):
     """Render a short synthetic sequence and chain ICP: the estimated
     world poses must track the ground-truth camera trajectory (config 3 of

@@ -68,6 +68,31 @@ def test_sharded_matches_single_device(pair):
                                atol=0.1)
 
 
+def test_sharded_plane_objective(pair):
+    """Sharded point-to-plane matches single-device plane registration."""
+    from icp_tpu import Objective
+
+    fixed, moving, q_true, t_true = pair
+    config = ICPConfig(m=4096, n_r=64, objective=Objective.PLANE,
+                       estimate_scale=False,
+                       correspondence=Correspondence.RBC)
+    params = ICPParams(alpha=2e2).as_f32()
+    single = register(jnp.asarray(fixed), jnp.asarray(moving), params, config)
+
+    mesh = make_mesh(4, 2)
+    run = make_sharded_register(mesh, config)
+    sharded = jax.block_until_ready(
+        run(jnp.asarray(fixed), jnp.asarray(moving), params))
+    q_err = qmul(sharded.q, qconj(single.q))
+    # Looser than the POINT-mode comparison: NN tie-breaking differs between
+    # the sharded and single-device search paths, and the plane solve is
+    # sensitive to individual pair swaps; both land equally near the truth.
+    assert float(qangle_deg(q_err)) < 0.02
+    np.testing.assert_allclose(np.asarray(sharded.t), np.asarray(single.t),
+                               atol=0.3)
+    _check(sharded, q_true, t_true)
+
+
 def test_sharded_brute_mode(pair):
     fixed, moving, q_true, t_true = pair
     config = ICPConfig(m=4096, n_r=64, rotation=RotationMode.SVD,
