@@ -1,0 +1,64 @@
+"""TUM RGB-D format: write a synthetic sequence, read it back, run SLAM."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+pytest.importorskip("PIL")
+
+from icp_tpu import ICPConfig, ICPParams
+from icp_tpu.sensors import synthetic, tum
+from icp_tpu.slam.mapping import SlamEngine
+from icp_tpu.slam.odometry import KeyframePolicy
+
+
+@pytest.fixture(scope="module")
+def seq_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tum_seq"))
+    tum.write_synthetic_sequence(root, n_frames=3)
+    return root
+
+
+def test_roundtrip_structure(seq_dir):
+    seq = tum.load_sequence(seq_dir)
+    assert len(seq) == 3
+    assert seq.gt_t is not None and seq.gt_t.shape == (3, 3)
+    assert seq.gt_q is not None
+    # Frame 0 gt is identity-ish (trajectory starts at origin).
+    np.testing.assert_allclose(seq.gt_t[0], 0.0, atol=1e-6)
+
+
+def test_cloud_loading_matches_render(seq_dir):
+    """A loaded TUM cloud must agree with the direct render (up to PNG
+    quantization) when loaded with the renderer's f=595 intrinsics."""
+    seq = tum.load_sequence(seq_dir)
+    cloud = tum.load_cloud(seq.rgb_files[0], seq.depth_files[0],
+                           fx=595.0, fy=595.0)
+    assert cloud.shape == (480, 640, 8)
+
+    scene = synthetic.default_scene()
+    direct = np.asarray(synthetic.render_cloud(
+        scene, synthetic.CameraPose.identity()))
+    valid = direct[..., 2] > 0
+    # Depth quantization: 1/5000 m = 0.2 mm.
+    np.testing.assert_allclose(cloud[valid][:, 2], direct[valid][:, 2],
+                               atol=0.5)
+    np.testing.assert_allclose(cloud[valid][:, :2], direct[valid][:, :2],
+                               atol=1.0)
+    np.testing.assert_allclose(cloud[valid][:, 4:7], direct[valid][:, 4:7],
+                               atol=1.0 / 255 + 1e-3)
+
+
+def test_slam_on_tum_sequence(seq_dir):
+    """End-to-end: TUM sequence -> SlamEngine -> trajectory near gt."""
+    seq = tum.load_sequence(seq_dir)
+    eng = SlamEngine(ICPParams(alpha=2e2),
+                     ICPConfig(estimate_scale=False),
+                     policy=KeyframePolicy(max_gap=2))
+    for cloud in tum.sequence_clouds(seq, fx=595.0, fy=595.0):
+        eng.process_frame(jnp.asarray(cloud))
+    assert len(eng.trajectory) == 3
+    # gt in meters; engine in mm.
+    gt_mm = seq.gt_t * 1000.0
+    err = np.linalg.norm(np.asarray(eng.trajectory[-1].t) - gt_mm[-1])
+    assert err < 15.0, err
