@@ -76,8 +76,7 @@ class ICPStepByStep:
 
     def step(self, verbose: bool = True) -> ICPState:
         """One ICP iteration (reference ``ICPSBS::step``)."""
-        if self._index is None and \
-                self.config.correspondence is Correspondence.RBC:
+        if self._index is None and self.config.needs_index:
             self.build_rbc()
         target = self._index if self._index is not None else self.fixed_lms
         with CPUTimer() as t:
@@ -106,7 +105,7 @@ class ICPRegistration:
         self.params = (params or ICPParams(alpha=2e2)).as_f32()
 
         def _run(fixed_lms, moving_lms):
-            if self.config.correspondence is Correspondence.RBC:
+            if self.config.needs_index:
                 target = build_index(fixed_lms, self.params, self.config)
             else:
                 target = fixed_lms

@@ -91,9 +91,7 @@ def register(fixed8: jnp.ndarray, moving8: jnp.ndarray,
 
     One jit dispatch end to end.
     """
-    if (config.correspondence is Correspondence.RBC
-            or config.objective is Objective.PLANE):
-        # PLANE needs the index even in brute mode (it carries the normals).
+    if config.needs_index:
         target: Union[RBCIndex, jnp.ndarray] = build_index(fixed8, params, config)
     else:
         target = fixed8

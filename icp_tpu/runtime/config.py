@@ -135,6 +135,13 @@ class ICPConfig:
                                max(((2 * mean_occ + 127) // 128) * 128, 16))
 
     @property
+    def needs_index(self) -> bool:
+        """True when the pipeline must build an RBCIndex: RBC correspondence
+        always; the PLANE objective too (the index carries the normals)."""
+        return (self.correspondence is Correspondence.RBC
+                or self.objective is Objective.PLANE)
+
+    @property
     def rep_grid(self) -> tuple[int, int]:
         """(n_ry, n_rx) split of n_r, mirroring reference cpp:852-854.
 

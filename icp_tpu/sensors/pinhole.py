@@ -24,12 +24,16 @@ HEIGHT = 480
 
 
 @jax.jit
-def backproject(depth: jnp.ndarray, rgb: jnp.ndarray) -> jnp.ndarray:
+def backproject(depth: jnp.ndarray, rgb: jnp.ndarray,
+                fx: float = FOCAL, fy: float = FOCAL,
+                cx: float = CX, cy: float = CY) -> jnp.ndarray:
     """Depth + color images -> (H, W, 8) point cloud.
 
     Args:
       depth: (H, W) depth in millimeters (0 = invalid).
       rgb: (H, W, 3) color in [0, 1].
+      fx, fy, cx, cy: intrinsics (default: the reference's Kinect model,
+        f = 595, centered; TUM sequences pass their own).
     Returns:
       (H, W, 8) cloud; invalid pixels give all-zero geometry like the
       reference (zero depth -> zero x, y, z; downstream weighting handles
@@ -38,8 +42,8 @@ def backproject(depth: jnp.ndarray, rgb: jnp.ndarray) -> jnp.ndarray:
     h, w = depth.shape
     u = jnp.arange(w, dtype=depth.dtype)[None, :]
     v = jnp.arange(h, dtype=depth.dtype)[None, :].T
-    x = (u - CX) * depth / FOCAL
-    y = (v - CY) * depth / FOCAL
+    x = (u - cx) * depth / fx
+    y = (v - cy) * depth / fy
     ones = jnp.ones_like(depth)
     return jnp.stack(
         [x, y, depth, ones, rgb[..., 0], rgb[..., 1], rgb[..., 2], ones],

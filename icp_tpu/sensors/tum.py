@@ -59,16 +59,29 @@ def _read_index(path: str) -> List[Tuple[float, str]]:
 
 def _associate(a: List[Tuple[float, str]], b: List[Tuple[float, str]],
                max_dt: float = 0.02):
-    """Greedy nearest-timestamp association (the standard associate.py rule)."""
-    out = []
+    """One-to-one nearest-timestamp association (standard associate.py
+    rule: candidate pairs sorted by |dt|, each element matched at most
+    once)."""
+    if not a or not b:
+        return []
+    candidates = []
     bi = 0
-    for ts, fa in a:
-        # advance b pointer to the closest timestamp
+    for ai, (ts, _) in enumerate(a):
         while bi + 1 < len(b) and abs(b[bi + 1][0] - ts) <= abs(b[bi][0] - ts):
             bi += 1
-        if abs(b[bi][0] - ts) <= max_dt:
-            out.append((ts, fa, b[bi][1]))
-    return out
+        for j in (bi - 1, bi, bi + 1):
+            if 0 <= j < len(b) and abs(b[j][0] - ts) <= max_dt:
+                candidates.append((abs(b[j][0] - ts), ai, j))
+    candidates.sort()
+    match_of = {}
+    used_b = set()
+    for _, ai, j in candidates:
+        if ai in match_of or j in used_b:
+            continue
+        match_of[ai] = j
+        used_b.add(j)
+    return [(a[ai][0], a[ai][1], b[match_of[ai]][1])
+            for ai in sorted(match_of)]
 
 
 def load_sequence(root: str, max_frames: Optional[int] = None,
@@ -96,12 +109,18 @@ def load_sequence(root: str, max_frames: Optional[int] = None,
                 if not line or line.startswith("#"):
                     continue
                 rows.append([float(x) for x in line.split()])
-        gt = np.asarray(rows)
-        # nearest gt row per frame timestamp
-        idx = np.searchsorted(gt[:, 0], seq.timestamps)
-        idx = np.clip(idx, 0, len(gt) - 1)
-        seq.gt_t = gt[idx, 1:4].astype(np.float32)
-        seq.gt_q = gt[idx, 4:8].astype(np.float32)
+        if rows and seq.timestamps:
+            gt = np.asarray(rows)
+            # Nearest gt row per frame timestamp: searchsorted gives the
+            # ceiling; compare against the row before and keep the closer.
+            hi = np.clip(np.searchsorted(gt[:, 0], seq.timestamps),
+                         0, len(gt) - 1)
+            lo = np.clip(hi - 1, 0, len(gt) - 1)
+            ts = np.asarray(seq.timestamps)
+            idx = np.where(np.abs(gt[lo, 0] - ts) <= np.abs(gt[hi, 0] - ts),
+                           lo, hi)
+            seq.gt_t = gt[idx, 1:4].astype(np.float32)
+            seq.gt_q = gt[idx, 4:8].astype(np.float32)
     return seq
 
 
@@ -112,18 +131,12 @@ def load_cloud(rgb_path: str, depth_path: str,
     """One associated frame -> (H, W, 8) cloud in millimeters."""
     from PIL import Image
 
+    from icp_tpu.sensors.pinhole import backproject
+
     rgb = np.asarray(Image.open(rgb_path), dtype=np.float32) / 255.0
     depth_png = np.asarray(Image.open(depth_path))
     depth_mm = depth_png.astype(np.float32) / depth_scale * 1000.0
-
-    h, w = depth_mm.shape
-    u = np.arange(w, dtype=np.float32)[None, :]
-    v = np.arange(h, dtype=np.float32)[:, None]
-    x = (u - cx) * depth_mm / fx
-    y = (v - cy) * depth_mm / fy
-    ones = np.ones_like(depth_mm)
-    return np.stack([x, y, depth_mm, ones,
-                     rgb[..., 0], rgb[..., 1], rgb[..., 2], ones], axis=-1)
+    return np.asarray(backproject(depth_mm, rgb, fx=fx, fy=fy, cx=cx, cy=cy))
 
 
 def write_synthetic_sequence(root: str, n_frames: int = 5,
@@ -172,7 +185,11 @@ def write_synthetic_sequence(root: str, n_frames: int = 5,
     return load_sequence(root)
 
 
-def sequence_clouds(seq: TumSequence, fx: float = TUM_FX, fy: float = TUM_FY):
-    """Iterate (H, W, 8) clouds of an associated sequence."""
+def sequence_clouds(seq: TumSequence, **intrinsics):
+    """Iterate (H, W, 8) clouds of an associated sequence.
+
+    ``intrinsics`` forwards to :func:`load_cloud` (fx, fy, cx, cy,
+    depth_scale) so per-camera calibrations apply to the whole sequence.
+    """
     for rp, dp in zip(seq.rgb_files, seq.depth_files):
-        yield load_cloud(rp, dp, fx=fx, fy=fy)
+        yield load_cloud(rp, dp, **intrinsics)

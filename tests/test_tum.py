@@ -49,6 +49,37 @@ def test_cloud_loading_matches_render(seq_dir):
                                atol=1.0 / 255 + 1e-3)
 
 
+def test_associate_one_to_one():
+    """A dropped depth frame must not duplicate its neighbor (standard
+    associate.py uniqueness)."""
+    rgb = [(0.000, "r0"), (0.033, "r1"), (0.066, "r2")]
+    depth = [(0.016, "d0"), (0.067, "d2")]  # depth for frame 1 dropped
+    out = tum._associate(rgb, depth, max_dt=0.02)
+    matched_depth = [o[2] for o in out]
+    assert len(matched_depth) == len(set(matched_depth))  # no duplicates
+    assert ("r2" in [o[1] for o in out])  # best |dt| pair survives
+
+
+def test_associate_nearest_not_ceiling():
+    rgb = [(10.011, "r")]
+    depth = [(10.010, "lo"), (10.020, "hi")]
+    out = tum._associate(rgb, depth, max_dt=0.02)
+    assert out[0][2] == "lo"  # nearest, not first-greater
+
+
+def test_degenerate_inputs(tmp_path):
+    root = str(tmp_path)
+    with open(f"{root}/rgb.txt", "w") as f:
+        f.write("# only comments\n1.0 rgb/a.png\n")
+    with open(f"{root}/depth.txt", "w") as f:
+        f.write("# empty\n")
+    with open(f"{root}/groundtruth.txt", "w") as f:
+        f.write("# no rows\n")
+    seq = tum.load_sequence(root)
+    assert len(seq) == 0
+    assert seq.gt_t is None
+
+
 def test_slam_on_tum_sequence(seq_dir):
     """End-to-end: TUM sequence -> SlamEngine -> trajectory near gt."""
     seq = tum.load_sequence(seq_dir)
