@@ -56,11 +56,16 @@ def group_by_bin(bin_ids: jnp.ndarray, n_bins: int, capacity: int) -> GroupLayou
     """
     n = bin_ids.shape[0]
     order = jnp.argsort(bin_ids, stable=True).astype(jnp.int32)
-    sorted_ids = bin_ids[order]
-    offsets = jnp.searchsorted(
-        sorted_ids, jnp.arange(n_bins, dtype=bin_ids.dtype), side="left"
-    ).astype(jnp.int32)
-    counts = jnp.diff(jnp.append(offsets, jnp.int32(n)))
+    # Counts via an (n_bins, n) equality reduce — pure VPU work (~4M bool
+    # ops at the flagship shape), vs ~0.2 ms for searchsorted + the
+    # sorted-keys gather it needs. No scatter, no sorted_ids materialized.
+    counts = jnp.sum(
+        (bin_ids[None, :] == jnp.arange(n_bins, dtype=bin_ids.dtype)[:, None])
+        .astype(jnp.int32),
+        axis=1,
+    )
+    cum = jnp.cumsum(counts)
+    offsets = (cum - counts).astype(jnp.int32)
 
     slot = offsets[:, None] + jnp.arange(capacity, dtype=jnp.int32)[None, :]
     valid = jnp.arange(capacity, dtype=jnp.int32)[None, :] < counts[:, None]
