@@ -32,16 +32,23 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     JAX_NUM_PROCESSES, JAX_PROCESS_ID) and to TPU-pod auto-detection when
     none are set (jax.distributed.initialize with no args on Cloud TPU).
     """
-    if jax.process_count() > 1:
+    # Do NOT probe jax.process_count() here — it would initialize the XLA
+    # backend, after which jax.distributed.initialize refuses to run.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
     kwargs = {}
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr:
         kwargs["coordinator_address"] = addr
         kwargs["num_processes"] = int(
-            num_processes or os.environ["JAX_NUM_PROCESSES"])
+            num_processes if num_processes is not None
+            else os.environ["JAX_NUM_PROCESSES"])
+        # NOTE: "or" would misroute process 0 (falsy) to the env var.
         kwargs["process_id"] = int(
-            process_id or os.environ["JAX_PROCESS_ID"])
+            process_id if process_id is not None
+            else os.environ["JAX_PROCESS_ID"])
     try:
         jax.distributed.initialize(**kwargs)
     except (ValueError, RuntimeError) as e:
