@@ -127,16 +127,27 @@ def _sharded_rbc_nn(index: RBCIndex, queries: jnp.ndarray, params: ICPParams,
     w8 = metric_weights(params.alpha, queries.dtype)
     qg_w = qgroups * w8
     sq_q = jnp.sum(qg_w * qgroups, axis=-1)
-    cross = jnp.einsum("rqd,rcd->rqc", qg_w, local.bins_centered,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
-    score = local.sq_b_masked[:, None, :] - 2.0 * cross
+    if config.use_pallas and jax.default_backend() != "cpu":
+        # Same fused VMEM kernel as the single-chip path, on the local bin
+        # slice; the winner's bin id rides in the payload (one extra lane).
+        from icp_tpu.kernels.bin_search import bin_search_pallas
 
-    best_slot = jnp.argmin(score, axis=-1)
-    best_sc = jnp.min(score, axis=-1)
+        vals = jnp.concatenate(
+            [local.bins, local.bin_ids[..., None].astype(jnp.float32)],
+            axis=-1)
+        best_sc, matched_vals = bin_search_pallas(
+            qg_w, local.bins_centered, local.sq_b_masked, vals)
+        best_id = matched_vals[..., 8].astype(jnp.int32)
+    else:
+        cross = jnp.einsum("rqd,rcd->rqc", qg_w, local.bins_centered,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        score = local.sq_b_masked[:, None, :] - 2.0 * cross
+        best_slot = jnp.argmin(score, axis=-1)
+        best_sc = jnp.min(score, axis=-1)
+        best_id = jnp.take_along_axis(local.bin_ids, best_slot, axis=-1)
     best_d2 = jnp.where(jnp.isfinite(best_sc),
                         jnp.maximum(best_sc + sq_q, 0.0), jnp.inf)
-    best_id = jnp.take_along_axis(local.bin_ids, best_slot, axis=-1)
 
     # Scatter grouped results back to dp-local query order; +inf elsewhere.
     found = qvalid & jnp.isfinite(best_d2)

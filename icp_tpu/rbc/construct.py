@@ -22,7 +22,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from icp_tpu.ops.distance import pairwise_sq_dists
-from icp_tpu.rbc.grouping import GroupLayout, group_by_bin
+from icp_tpu.rbc.grouping import GroupLayout, gather_grouped, group_by_bin
 
 
 class RBCIndex(NamedTuple):
@@ -88,7 +88,7 @@ def rbc_construct(db: jnp.ndarray, reps: jnp.ndarray, alpha,
         rep_db_ids = jnp.argmin(d2, axis=0).astype(jnp.int32)
 
     layout = group_by_bin(rep_id, reps.shape[0], capacity)
-    bins = db[layout.member]  # (n_r, capacity, 8)
+    bins = gather_grouped(layout, db)  # (n_r, capacity, 8), sliced form
 
     # Search-time invariants, hoisted out of the per-iteration search:
     # per-bin-centered bins (f32-safe quadratic expansion) and the masked
@@ -103,7 +103,7 @@ def rbc_construct(db: jnp.ndarray, reps: jnp.ndarray, alpha,
 
     if normals is None:
         normals = jnp.zeros((db.shape[0], 3), db.dtype)
-    bin_normals = normals[layout.member]
+    bin_normals = gather_grouped(layout, normals)
 
     return RBCIndex(
         reps=reps,

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from icp_tpu.ops.distance import metric_weights, pairwise_sq_dists
 from icp_tpu.rbc.construct import RBCIndex
-from icp_tpu.rbc.grouping import group_by_bin
+from icp_tpu.rbc.grouping import gather_grouped, group_by_bin
 
 
 class GroupedSearchResult(NamedTuple):
@@ -76,7 +76,7 @@ def rbc_search_grouped(index: RBCIndex, queries: jnp.ndarray, alpha,
     query_rep = jnp.argmin(d2_qr, axis=1).astype(jnp.int32)
 
     qlayout = group_by_bin(query_rep, n_r, query_capacity)
-    queries_g = queries[qlayout.member]  # (n_r, cq, 8)
+    queries_g = gather_grouped(qlayout, queries)  # (n_r, cq, 8), sliced form
     qc = queries_g - index.reps[:, None, :]  # per-bin centering
 
     w8 = metric_weights(alpha, queries.dtype)
