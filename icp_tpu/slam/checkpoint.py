@@ -31,12 +31,9 @@ def _to_np(x):
     return np.asarray(x)
 
 
-def save_session(engine: SlamEngine, path: str) -> str:
-    """Snapshot an engine to ``path`` (.npz appended if missing)."""
-    if not path.endswith(".npz"):
-        path = path + ".npz"
+def _payload(engine: SlamEngine) -> dict:
     m = engine.map
-    payload = {
+    return {
         "version": np.int32(FORMAT_VERSION),
         "traj_q": np.stack([_to_np(p.q) for p in engine.trajectory]),
         "traj_t": np.stack([_to_np(p.t) for p in engine.trajectory]),
@@ -57,19 +54,48 @@ def save_session(engine: SlamEngine, path: str) -> str:
             "gap_since_kf": engine._gap_since_kf,
         }).encode(), dtype=np.uint8),
     }
+
+
+def save_session(engine: SlamEngine, path: str,
+                 backend: str = "npz") -> str:
+    """Snapshot an engine.
+
+    backend "npz": one compressed file (path gets .npz appended) — the
+    simple durable default. backend "orbax": an orbax PyTree checkpoint
+    directory — async-capable and multi-host-aware for pod-scale maps.
+    """
+    payload = _payload(engine)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        # Orbax rejects zero-size arrays; omit them and default at restore.
+        payload = {k: v for k, v in payload.items()
+                   if not (isinstance(v, np.ndarray) and v.size == 0)}
+        path = os.path.abspath(path)
+        ckpt = ocp.PyTreeCheckpointer()
+        ckpt.save(path, payload, force=True)
+        return path
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     tmp = path + ".tmp"
     np.savez_compressed(tmp, **payload)
     os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
     return path
 
 
-def load_session(path: str, engine: Optional[SlamEngine] = None) -> SlamEngine:
+def load_session(path: str, engine: Optional[SlamEngine] = None,
+                 backend: str = "npz") -> SlamEngine:
     """Restore a SlamEngine from a snapshot. If ``engine`` is given, its
     params/config are kept and only the state is restored."""
-    if not path.endswith(".npz"):
-        path = path + ".npz"
-    data = np.load(path, allow_pickle=False)
-    version = int(data["version"])
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        data = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    else:
+        if not path.endswith(".npz"):
+            path = path + ".npz"
+        data = np.load(path, allow_pickle=False)
+    version = int(np.asarray(data["version"]))
     if version != FORMAT_VERSION:
         raise ValueError(f"unsupported snapshot version {version}")
 
@@ -84,13 +110,23 @@ def load_session(path: str, engine: Optional[SlamEngine] = None) -> SlamEngine:
         m.keyframes.append(Keyframe(int(idx),
                                     se3.Pose(jnp.asarray(q), jnp.asarray(t)),
                                     jnp.asarray(lms)))
-    m.edges = [tuple(e) for e in data["edges"]]
+    def _get(key, shape, dtype):
+        # Orbax snapshots omit zero-size arrays (see save_session).
+        try:
+            return np.asarray(data[key])
+        except KeyError:
+            return np.zeros(shape, dtype)
+
+    m.edges = [tuple(e) for e in _get("edges", (0, 2), np.int32)]
+    meas_q = _get("meas_q", (0, 4), np.float32)
+    meas_t = _get("meas_t", (0, 3), np.float32)
     m.measurements = [
         se3.Pose(jnp.asarray(q), jnp.asarray(t))
-        for q, t in zip(data["meas_q"], data["meas_t"])
+        for q, t in zip(meas_q, meas_t)
     ]
-    m.weights = list(data["weights"].astype(float))
-    m.loop_closures = [tuple(e) for e in data["loop_closures"]]
+    m.weights = list(_get("weights", (0,), np.float32).astype(float))
+    m.loop_closures = [tuple(e) for e in _get("loop_closures", (0, 2),
+                                              np.int32)]
     eng.map = m
     meta = json.loads(bytes(data["meta"]).decode())
     eng._gap_since_kf = int(meta.get("gap_since_kf", 0))

@@ -55,6 +55,26 @@ def test_engine_tracks_and_closes_loop(rng):
         assert err < 20.0, err
 
 
+def test_checkpoint_orbax_roundtrip(tmp_path, rng):
+    import pytest
+
+    pytest.importorskip("orbax.checkpoint")
+    scene = synthetic.default_scene()
+    poses = _loop_trajectory(3)
+    eng = _engine(max_gap=1)
+    for p in poses:
+        eng.process_frame(synthetic.render_cloud(scene, p))
+
+    path = save_session(eng, str(tmp_path / "ckpt"), backend="orbax")
+    eng2 = load_session(path, _engine(max_gap=1), backend="orbax")
+    assert len(eng2.trajectory) == len(eng.trajectory)
+    np.testing.assert_allclose(np.asarray(eng2.trajectory[-1].t),
+                               np.asarray(eng.trajectory[-1].t), atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(eng2.map.keyframes[0].landmarks),
+        np.asarray(eng.map.keyframes[0].landmarks))
+
+
 def test_checkpoint_roundtrip(tmp_path, rng):
     scene = synthetic.default_scene()
     poses = _loop_trajectory(4)
