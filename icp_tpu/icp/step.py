@@ -106,6 +106,18 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
     mv, matched_f, nn_dist, mask, matched_n = _find_correspondences(
         tm, target, params, config)
 
+    # Discard invalid (zero-geometry) points: the reference's samplers pass
+    # them through and its kernel docs defer the discard downstream
+    # ("Further processing is needed for those points to be discarded",
+    # kernels/icp_kernels.cl:50-51) — this is that processing. Without it a
+    # cluster of invalid-to-invalid zero-distance matches anchors the
+    # solution at the origin.
+    pair_valid = jnp.logical_and(
+        jnp.sum(jnp.abs(mv[..., :3]), axis=-1) > 0,
+        jnp.sum(jnp.abs(matched_f[..., :3]), axis=-1) > 0,
+    )
+    mask = pair_valid if mask is None else jnp.logical_and(mask, pair_valid)
+
     # 3. Optional residual weighting (reference icpComputeReduceWeights).
     if config.weighting is Weighting.WEIGHTED:
         w = compute_weights(nn_dist)

@@ -195,6 +195,12 @@ def sharded_icp_step(state: ICPState, moving_local: jnp.ndarray,
 
     both = (DP_AXIS, MP_AXIS)
     mp_size = jax.lax.axis_size(MP_AXIS)
+    # Invalid (zero-geometry) pair discard — same rule as the single-chip
+    # step (see icp_tpu.icp.step).
+    mask = jnp.logical_and(
+        jnp.sum(jnp.abs(tm[..., :3]), axis=-1) > 0,
+        jnp.sum(jnp.abs(matched_f[..., :3]), axis=-1) > 0,
+    )
     if config.weighting is Weighting.WEIGHTED:
         w = compute_weights(nn_dist)
     else:
@@ -206,13 +212,13 @@ def sharded_icp_step(state: ICPState, moving_local: jnp.ndarray,
         from icp_tpu.icp.plane import plane_system_partials, solve_plane_system
 
         H, b = plane_system_partials(tm[..., :3], matched_f[..., :3],
-                                     index.normals[nn_id], w)
+                                     index.normals[nn_id], w, mask)
         H = jax.lax.psum(H, both) / mp_size
         b = jax.lax.psum(b, both) / mp_size
         qk, tk = solve_plane_system(H, b)
         sk = jnp.ones((), tm.dtype)
     else:
-        sum_f, sum_m, denom = centroid_partials(matched_f, tm, w)
+        sum_f, sum_m, denom = centroid_partials(matched_f, tm, w, mask)
         # NOTE: dp shards hold disjoint queries; mp shards all hold the same
         # queries, so partials must NOT be double counted over mp — divide
         # by the mp axis size after the psum (cheaper than a second
@@ -225,7 +231,7 @@ def sharded_icp_step(state: ICPState, moving_local: jnp.ndarray,
 
         dev_f = deviations(matched_f, mean_f)
         dev_m = deviations(tm, mean_m)
-        S11 = s_matrix(dev_m, dev_f, params.c, w)
+        S11 = s_matrix(dev_m, dev_f, params.c, w, mask)
         S11 = jax.lax.psum(S11, both) / mp_size
 
         qk, tk, sk = solve_step_transform(

@@ -143,6 +143,102 @@ def optimize(graph: PoseGraph, iterations: int = 10,
     return graph._replace(q=q, t=t)
 
 
+def pad_edges(graph: PoseGraph, multiple: int) -> PoseGraph:
+    """Pad the edge arrays to a multiple (for even dp sharding) with
+    zero-weight identity self-edges on node 0 — they contribute nothing."""
+    e = graph.edge_i.shape[0]
+    target = ((e + multiple - 1) // multiple) * multiple
+    pad = target - e
+    if pad == 0:
+        return graph
+    zq = jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0], graph.q.dtype), (pad, 1))
+    zt = jnp.zeros((pad, 3), graph.t.dtype)
+    return graph._replace(
+        edge_i=jnp.concatenate([graph.edge_i, jnp.zeros((pad,), jnp.int32)]),
+        edge_j=jnp.concatenate([graph.edge_j, jnp.zeros((pad,), jnp.int32)]),
+        meas_q=jnp.concatenate([graph.meas_q, zq]),
+        meas_t=jnp.concatenate([graph.meas_t, zt]),
+        weight=jnp.concatenate([graph.weight,
+                                jnp.zeros((pad,), graph.weight.dtype)]),
+    )
+
+
+def make_sharded_optimize(mesh, n_nodes: int, iterations: int = 10,
+                          damping: float = 1e-6, fix_first: bool = True):
+    """Distributed pose-graph GN: EDGES sharded over dp (keyframe residuals
+    computed shard-locally), dense normal-system partials combined by ONE
+    psum per iteration, replicated solve/update — the same
+    partials+collectives recipe as the sharded ICP step and BA
+    (SURVEY.md §2.6). Poses are replicated (the keyframe set is small; the
+    work scales with edges).
+
+    Returns ``run(graph) -> PoseGraph`` for a graph whose edge arrays are
+    evenly divisible by the dp size (see :func:`pad_edges`).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from icp_tpu.parallel.mesh import DP_AXIS
+
+    n = n_nodes
+
+    def gn_local(graph: PoseGraph) -> PoseGraph:
+        def gn_iter(carry, _):
+            q, t = carry
+            poses_i = se3.Pose(q[graph.edge_i], t[graph.edge_i])
+            poses_j = se3.Pose(q[graph.edge_j], t[graph.edge_j])
+            meas = se3.Pose(graph.meas_q, graph.meas_t)
+            r0, Ji, Jj = jax.vmap(_edge_jacobians)(poses_i, poses_j, meas)
+            w = graph.weight[:, None, None]
+
+            Hii = jnp.swapaxes(Ji, 1, 2) @ (Ji * w)
+            Hjj = jnp.swapaxes(Jj, 1, 2) @ (Jj * w)
+            Hij = jnp.swapaxes(Ji, 1, 2) @ (Jj * w)
+            bi = jnp.einsum("ekr,ek->er", Ji * w[..., 0:1], r0)
+            bj = jnp.einsum("ekr,ek->er", Jj * w[..., 0:1], r0)
+
+            H = jnp.zeros((n, 6, n, 6), q.dtype)
+            H = H.at[graph.edge_i, :, graph.edge_i, :].add(Hii)
+            H = H.at[graph.edge_j, :, graph.edge_j, :].add(Hjj)
+            H = H.at[graph.edge_i, :, graph.edge_j, :].add(Hij)
+            H = H.at[graph.edge_j, :, graph.edge_i, :].add(
+                jnp.swapaxes(Hij, 1, 2))
+            b = jnp.zeros((n, 6), q.dtype)
+            b = b.at[graph.edge_i].add(bi)
+            b = b.at[graph.edge_j].add(bj)
+
+            # Combine shard partials — the only collective per iteration.
+            H = jax.lax.psum(H, DP_AXIS)
+            b = jax.lax.psum(b, DP_AXIS)
+
+            Hf = H.reshape(6 * n, 6 * n)
+            bf = b.reshape(6 * n)
+            if fix_first:
+                anchor = jnp.zeros((6 * n,), q.dtype).at[:6].set(1e12)
+                Hf = Hf + jnp.diag(anchor)
+            Hf = Hf + damping * jnp.eye(6 * n, dtype=q.dtype)
+            dx = -jnp.linalg.solve(Hf, bf).reshape(n, 6)
+            new = jax.vmap(
+                lambda qq, tt, xi: se3.retract(se3.Pose(qq, tt), xi))(q, t, dx)
+            return (new.q, new.t), None
+
+        (q, t), _ = jax.lax.scan(gn_iter, (graph.q, graph.t), None,
+                                 length=iterations)
+        return graph._replace(q=q, t=t)
+
+    spec_edges = PoseGraph(
+        q=P(), t=P(),
+        edge_i=P(DP_AXIS), edge_j=P(DP_AXIS),
+        meas_q=P(DP_AXIS), meas_t=P(DP_AXIS), weight=P(DP_AXIS))
+    spec_out = PoseGraph(
+        q=P(), t=P(),
+        edge_i=P(DP_AXIS), edge_j=P(DP_AXIS),
+        meas_q=P(DP_AXIS), meas_t=P(DP_AXIS), weight=P(DP_AXIS))
+    sharded = shard_map(gn_local, mesh=mesh, in_specs=(spec_edges,),
+                        out_specs=spec_out, check_vma=False)
+    return jax.jit(sharded)
+
+
 def graph_cost(graph: PoseGraph) -> jnp.ndarray:
     """Total weighted squared residual of the graph (diagnostic)."""
     poses_i = se3.Pose(graph.q[graph.edge_i], graph.t[graph.edge_i])

@@ -96,6 +96,32 @@ def test_register_identity_pair_converges_fast(rng):
     assert float(jnp.linalg.norm(state.t)) < 1e-2
 
 
+def test_register_with_invalid_points(rng):
+    """Zero-geometry (invalid Kinect) points must pass through the samplers
+    and be absorbed by the weighting, like the reference (getLMs picks them;
+    kernels/icp_kernels.cl:50-51)."""
+    fixed, moving, q_true, t_true = _make_pair(rng, 4096)
+    fixed = np.array(fixed)
+    moving = np.array(moving)
+    # Punch holes: 10% invalid points in each cloud (zero geometry+color).
+    for arr in (fixed, moving):
+        idx = rng.choice(arr.shape[0], arr.shape[0] // 10, replace=False)
+        arr[idx] = 0.0
+    config = ICPConfig(m=4096, n_r=64, rotation=RotationMode.POWER,
+                       weighting=Weighting.WEIGHTED,
+                       correspondence=Correspondence.RBC,
+                       estimate_scale=False, max_iterations=40)
+    state = register(jnp.asarray(fixed), jnp.asarray(moving),
+                     ICPParams(alpha=2e2).as_f32(), config)
+    q_err = qmul(state.q, qconj(jnp.asarray(q_true)))
+    # The invalid-pair discard in icp_step keeps accuracy near the clean
+    # case (without it, the origin-clustered invalid matches drag t by
+    # ~7 mm).
+    assert float(qangle_deg(q_err)) < 0.2
+    np.testing.assert_allclose(np.asarray(state.t), t_true, atol=2.0)
+    assert np.isfinite(np.asarray(state.T)).all()
+
+
 def test_run_respects_max_iterations(rng):
     fixed, moving, *_ = _make_pair(rng, 1024, angle=0.3, trans=100.0)
     config = ICPConfig(m=1024, n_r=16, correspondence=Correspondence.BRUTE,

@@ -95,6 +95,28 @@ def test_optimize_closes_loop(rng):
     assert endpoint_err(out) < endpoint_err(graph) * 0.25
 
 
+def test_sharded_optimize_matches_single(rng):
+    """Edge-sharded pose-graph GN over an 8-way mesh == single-device."""
+    from icp_tpu.parallel.mesh import make_mesh
+    from icp_tpu.slam.pose_graph import make_sharded_optimize, pad_edges
+    import jax
+
+    graph, _ = _chain_with_loop(rng)
+    single = optimize(graph, iterations=8)
+
+    mesh = make_mesh(8, 1)
+    padded = pad_edges(graph, 8)
+    run = make_sharded_optimize(mesh, n_nodes=graph.q.shape[0], iterations=8)
+    out = jax.block_until_ready(run(padded))
+
+    np.testing.assert_allclose(np.asarray(out.t), np.asarray(single.t),
+                               atol=1e-3)
+    c = float(graph_cost(out._replace(
+        edge_i=graph.edge_i, edge_j=graph.edge_j, meas_q=graph.meas_q,
+        meas_t=graph.meas_t, weight=graph.weight)))
+    assert c < float(graph_cost(graph)) * 0.2
+
+
 def test_anchor_fixed(rng):
     graph, _ = _chain_with_loop(rng)
     out = optimize(graph, iterations=5)
