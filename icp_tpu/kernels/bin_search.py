@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Bins processed per grid step: amortizes grid/dispatch overhead while
 # keeping VMEM usage ~1-2 MB per step at cq = cb = 128.
-DEFAULT_BIN_BATCH = 16
+DEFAULT_BIN_BATCH = 32
 
 
 def _bin_search_kernel(qg_w_ref, bins_c_ref, sq_b_ref, vals_ref,
@@ -94,6 +94,7 @@ def bin_search_pallas(qg_w: jnp.ndarray, bins_c: jnp.ndarray,
     n_r, cq, d = qg_w.shape
     cb = bins_c.shape[1]
     v = vals.shape[2]
+    bin_batch = min(bin_batch, n_r)
     assert n_r % bin_batch == 0, (n_r, bin_batch)
     grid = (n_r // bin_batch,)
 
