@@ -98,6 +98,23 @@ def solve_rotation_power(S9: jnp.ndarray) -> jnp.ndarray:
     return q * jnp.where(q[3] < 0, -1.0, 1.0)
 
 
+def solve_rotation_jacobi(S9: jnp.ndarray) -> jnp.ndarray:
+    """Rotation via a full symmetric eigensolve of Horn's N matrix.
+
+    Implements the reference's declared-but-todo JACOBI variant
+    (``ICPStepConfigT::JACOBI``, include/ICP/algorithms.hpp:1544-1564):
+    eigendecompose the 4x4 N and take the most-POSITIVE eigenvalue's
+    eigenvector — exact where the power method iterates.
+
+    Returns:
+      (4,) unit quaternion [x, y, z, w], sign-canonicalized (w >= 0).
+    """
+    N = build_N(S9)
+    _, vecs = jnp.linalg.eigh(N)  # ascending eigenvalues
+    q = qnormalize(vecs[:, -1])
+    return q * jnp.where(q[3] < 0, -1.0, 1.0)
+
+
 def solve_rotation_svd(S9: jnp.ndarray) -> jnp.ndarray:
     """Rotation via SVD of the 3x3 cross-covariance, with reflection fix.
 
@@ -116,8 +133,16 @@ def solve_rotation_svd(S9: jnp.ndarray) -> jnp.ndarray:
     return matrix_to_quat(R)
 
 
+_ROTATION_SOLVERS = {
+    "power": solve_rotation_power,
+    "svd": solve_rotation_svd,
+    "jacobi": solve_rotation_jacobi,
+}
+
+
 def solve_step_transform(S11: jnp.ndarray, mean_f: jnp.ndarray,
-                         mean_m: jnp.ndarray, *, use_power: bool,
+                         mean_m: jnp.ndarray, *, use_power: bool = True,
+                         mode: str | None = None,
                          estimate_scale: bool = True):
     """Incremental transform (q_k, t_k, s_k) for one ICP iteration.
 
@@ -129,7 +154,9 @@ def solve_step_transform(S11: jnp.ndarray, mean_f: jnp.ndarray,
       S11: (11,) S-matrix vector (see module docstring).
       mean_f: (3,) fixed-set centroid.
       mean_m: (3,) moving-set centroid.
-      use_power: static flag selecting the power-method or SVD solver.
+      use_power: legacy static flag (power vs svd); superseded by ``mode``.
+      mode: "power" | "svd" | "jacobi" (RotationMode.value); overrides
+        ``use_power`` when given.
       estimate_scale: solve for s_k (reference behavior); False pins
         s_k = 1 (rigid mode — see ICPConfig.estimate_scale).
     Returns:
@@ -139,9 +166,8 @@ def solve_step_transform(S11: jnp.ndarray, mean_f: jnp.ndarray,
         sk = jnp.sqrt(S11[9] / S11[10])
     else:
         sk = jnp.ones((), S11.dtype)
-    if use_power:
-        qk = solve_rotation_power(S11[:9])
-    else:
-        qk = solve_rotation_svd(S11[:9])
+    if mode is None:
+        mode = "power" if use_power else "svd"
+    qk = _ROTATION_SOLVERS[mode](S11[:9])
     tk = mean_f - sk * qrotate(qk, mean_m)
     return qk, tk, sk

@@ -142,7 +142,7 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
         S11 = s_matrix(dev_m, dev_f, params.c, w, mask)
         qk, tk, sk = solve_step_transform(
             S11, mean_f, mean_m,
-            use_power=config.rotation is RotationMode.POWER,
+            mode=config.rotation.value,
             estimate_scale=config.estimate_scale,
         )
 

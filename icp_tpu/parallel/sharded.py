@@ -236,7 +236,7 @@ def sharded_icp_step(state: ICPState, moving_local: jnp.ndarray,
 
         qk, tk, sk = solve_step_transform(
             S11, mean_f, mean_m,
-            use_power=config.rotation is RotationMode.POWER,
+            mode=config.rotation.value,
             estimate_scale=config.estimate_scale)
 
     q = qnormalize(qmul(qk, state.q))

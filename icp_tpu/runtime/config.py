@@ -27,11 +27,16 @@ class RotationMode(enum.Enum):
     SVD mirrors the reference's EIGEN mode (JacobiSVD on the host,
     reference src/ICP/algorithms.cpp:3474-3487) but runs on-device via a
     jit-compatible 3x3 SVD. POWER mirrors the on-device power-method kernel
-    (reference kernels/icp_kernels.cl:976-1054).
+    (reference kernels/icp_kernels.cl:976-1054). JACOBI completes the
+    reference's declared-but-unimplemented third variant
+    (``ICPStepConfigT::JACOBI (todo)``, include/ICP/algorithms.hpp:1544-
+    1564): a full symmetric eigensolve of Horn's 4x4 N matrix, taking the
+    most-positive eigenvalue's eigenvector.
     """
 
     SVD = "svd"
     POWER = "power"
+    JACOBI = "jacobi"
 
 
 class Weighting(enum.Enum):

@@ -13,13 +13,13 @@ from tests.utils import make_cloud8, random_quat
 FLOAT_EPS = np.finfo(np.float32).eps
 
 
-@pytest.mark.parametrize("use_power", [True, False])
+@pytest.mark.parametrize("use_power", ["power", "svd", "jacobi"])
 def test_reference_golden_triplet(use_power):
     """Match the hard-coded SVD solution from the reference test within its
     own tolerance (42000 * eps, testsICP.cpp:1042-1052)."""
     qk, tk, sk = horn.solve_step_transform(
         jnp.asarray(REF_S11), jnp.asarray(REF_MEANS[0]), jnp.asarray(REF_MEANS[1]),
-        use_power=use_power,
+        mode=use_power,
     )
     got = np.concatenate([np.asarray(qk), np.asarray(tk), [float(sk)]])
     eps = 42000 * FLOAT_EPS  # ~0.005

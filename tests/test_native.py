@@ -56,6 +56,39 @@ def test_native_nn_matches_jax(lib, rng):
     np.testing.assert_allclose(d_n, np.asarray(d_j), rtol=1e-4, atol=1.0)
 
 
+def test_native_full_iteration_matches_icp_step(lib, rng):
+    """Cross-implementation check of ONE FULL weighted ICP iteration:
+    native C++ oracle (exact NN + golden Horn solve) vs the jitted
+    icp_step (brute + weighted + power). Catches pipeline drift anywhere
+    between search and accumulation."""
+    from icp_tpu import Correspondence, ICPConfig, ICPParams, RotationMode, Weighting
+    from icp_tpu.icp.state import identity_state
+    from icp_tpu.icp.step import icp_step
+
+    fixed = make_cloud8(rng, 512)
+    moving = fixed.copy()
+    moving[:, :3] += np.array([4.0, -2.0, 3.0], np.float32)
+    moving[:, :3] += rng.normal(0, 0.5, (512, 3)).astype(np.float32)
+    alpha = 150.0
+
+    # Native oracle iteration.
+    nn_idx, nn_d2 = native.golden_nn(moving, fixed, alpha)
+    Tk = native.golden_solve(moving, fixed[nn_idx], nn_d2, weighted=True,
+                             estimate_scale=True)
+
+    # Framework iteration (same variant).
+    config = ICPConfig(m=512, n_r=8, correspondence=Correspondence.BRUTE,
+                       weighting=Weighting.WEIGHTED,
+                       rotation=RotationMode.POWER)
+    st = icp_step(identity_state(), jnp.asarray(moving), jnp.asarray(fixed),
+                  ICPParams(alpha=alpha).as_f32(), config)
+    got = np.concatenate([np.asarray(st.qk), np.asarray(st.tk),
+                          [float(st.sk)]])
+    np.testing.assert_allclose(got[:4], Tk[:4], atol=5e-4)
+    np.testing.assert_allclose(got[4:7], Tk[4:7], atol=5e-2)
+    assert abs(got[7] - Tk[7]) < 1e-4
+
+
 def test_native_solve_matches_jax(lib, rng):
     """The native golden Horn solve must agree with the JAX solver on the
     same matched pairs."""
