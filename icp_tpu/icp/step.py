@@ -34,7 +34,7 @@ from icp_tpu.ops.moments import (
     s_matrix,
 )
 from icp_tpu.rbc.construct import RBCIndex
-from icp_tpu.rbc.search import rbc_search_grouped
+from icp_tpu.rbc.search import rbc_search_grouped, rbc_search_moments
 from icp_tpu.runtime.config import (
     Correspondence,
     ICPConfig,
@@ -101,6 +101,25 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
     """
     # 1. Transform the moving set by the accumulated similarity.
     tm = transform_points(moving8, state.q, state.t, state.s)
+
+    # Fast path: fully-fused search + weighting + moment reduction in one
+    # Pallas pass (nothing per-point returns to HBM). POINT objective only;
+    # PLANE needs per-pair Jacobian rows.
+    use_pallas = config.use_pallas and jax.default_backend() != "cpu"
+    if (config.use_fused_moments
+            and config.correspondence is Correspondence.RBC
+            and config.objective is Objective.POINT and use_pallas):
+        assert isinstance(target, RBCIndex)
+        S11, mean_f, mean_m, _sum_w, _nv = rbc_search_moments(
+            target, tm, params.alpha, config.query_capacity,
+            weighted=config.weighting is Weighting.WEIGHTED, c=params.c)
+        qk, tk, sk = solve_step_transform(
+            S11, mean_f, mean_m, mode=config.rotation.value,
+            estimate_scale=config.estimate_scale)
+        q = qnormalize(qmul(qk, state.q))
+        t = sk * qrotate(qk, state.t) + tk
+        s = sk * state.s
+        return ICPState(q=q, t=t, s=s, qk=qk, tk=tk, sk=sk, k=state.k + 1)
 
     # 2. Correspondence search (grouped layout + mask in RBC mode).
     mv, matched_f, nn_dist, mask, matched_n = _find_correspondences(

@@ -99,7 +99,12 @@ def rbc_construct(db: jnp.ndarray, reps: jnp.ndarray, alpha,
     bins_centered = bins - reps[:, None, :]
     w8 = metric_weights(alpha, db.dtype)
     sq_b = jnp.sum((bins_centered * w8) * bins_centered, axis=-1)
-    sq_b_masked = jnp.where(layout.valid, sq_b, jnp.inf)
+    # Invalid slots AND invalid (zero-geometry Kinect) database points are
+    # masked out of matching entirely — the reference's kernel docs defer
+    # the invalid-point discard downstream (kernels/icp_kernels.cl:50-51);
+    # excluding them from the search is that processing, done once here.
+    nonzero_db = jnp.sum(jnp.abs(bins[..., :3]), axis=-1) > 0
+    sq_b_masked = jnp.where(layout.valid & nonzero_db, sq_b, jnp.inf)
 
     if normals is None:
         normals = jnp.zeros((db.shape[0], 3), db.dtype)

@@ -146,6 +146,82 @@ def rbc_search_grouped(index: RBCIndex, queries: jnp.ndarray, alpha,
     )
 
 
+def rbc_search_moments(index: RBCIndex, queries: jnp.ndarray, alpha,
+                       query_capacity: int, weighted: bool, c,
+                       interpret: bool = False):
+    """FULLY-fused search path: one Pallas pass produces per-bin moment
+    partials (icp_tpu.kernels.bin_moments) and this function assembles the
+    global Horn inputs — nothing per-point ever returns to HBM.
+
+    The per-bin partials are in rep-centered frames; translating them to
+    the common frame is exact algebra over 256 rows:
+
+        sum w m f^T |_bin = smf + sm r^T + r sf^T + s0 r r^T
+
+    and the global S/energies subtract the rank-one mean term.
+
+    Returns:
+      (S11 (11,) in the icpSijProducts layout (c applied),
+       mean_f (3,), mean_m (3,), sum_w scalar, n_valid scalar).
+    """
+    from icp_tpu.kernels.bin_moments import bin_moments_pallas
+
+    n_r = index.reps.shape[0]
+
+    d2_qr = pairwise_sq_dists(queries, index.reps, alpha)
+    query_rep = jnp.argmin(d2_qr, axis=1).astype(jnp.int32)
+
+    qlayout = group_by_bin(query_rep, n_r, query_capacity)
+    queries_g = gather_grouped(qlayout, queries)
+    qc = queries_g - index.reps[:, None, :]
+
+    w8 = metric_weights(alpha, queries.dtype)
+    qg_w = qc * w8
+    sq_q = jnp.sum(qg_w * qc, axis=-1)
+    qvalid = jnp.logical_and(
+        qlayout.valid,
+        jnp.sum(jnp.abs(queries_g[..., :3]), axis=-1) > 0,
+    ).astype(jnp.float32)
+
+    mom = bin_moments_pallas(qg_w, index.bins_centered, index.sq_b_masked,
+                             sq_q, qvalid, weighted=weighted,
+                             interpret=interpret)
+
+    r = index.reps[:, :3]  # (n_r, 3)
+    s0 = mom[:, 0]
+    sm = mom[:, 1:4]
+    sf = mom[:, 4:7]
+    smf = mom[:, 7:16].reshape(n_r, 3, 3)
+    sff = mom[:, 16]
+    smm = mom[:, 17]
+    n_valid = jnp.sum(mom[:, 18])
+
+    W = jnp.sum(s0)
+    Sm = jnp.sum(sm + s0[:, None] * r, axis=0)
+    Sf = jnp.sum(sf + s0[:, None] * r, axis=0)
+    Smf = jnp.sum(
+        smf
+        + sm[:, :, None] * r[:, None, :]
+        + r[:, :, None] * sf[:, None, :]
+        + s0[:, None, None] * (r[:, :, None] * r[:, None, :]),
+        axis=0,
+    )
+    r2 = jnp.sum(r * r, axis=1)
+    Sff = jnp.sum(sff + 2.0 * jnp.sum(sf * r, axis=1) + s0 * r2)
+    Smm = jnp.sum(smm + 2.0 * jnp.sum(sm * r, axis=1) + s0 * r2)
+
+    safe_w = jnp.where(W > 0, W, 1.0)
+    mean_m = Sm / safe_w
+    mean_f = Sf / safe_w
+    S3 = Smf - jnp.outer(Sm, Sf) / safe_w
+    ff = Sff - jnp.sum(Sf * Sf) / safe_w
+    mm = Smm - jnp.sum(Sm * Sm) / safe_w
+
+    c2 = jnp.asarray(c, S3.dtype) ** 2
+    S11 = jnp.concatenate([S3.reshape(9), jnp.stack([ff, mm])]) * c2
+    return S11, mean_f, mean_m, W, n_valid
+
+
 class SearchResult(NamedTuple):
     """NN results in ORIGINAL query order.
 

@@ -119,6 +119,12 @@ class ICPConfig:
     use_pallas: bool = True
     estimate_scale: bool = True
     objective: Objective = Objective.POINT
+    # Fully-fused search+weights+moments kernel (kernels/bin_moments.py).
+    # Measured SLOWER than the bin-search kernel + XLA reductions on v5e
+    # (0.65 vs 0.44 ms/iter — in-kernel scalar-column reductions outweigh
+    # the saved HBM traffic), so off by default; kept as an option for
+    # future hardware/Mosaic revisions.
+    use_fused_moments: bool = False
 
     def __post_init__(self):
         if self.m <= 0:
