@@ -1,0 +1,11 @@
+"""Random-Ball-Cover correspondence engine (reference RBC dependency)."""
+
+from icp_tpu.rbc.construct import RBCIndex, rbc_construct
+from icp_tpu.rbc.grouping import GroupLayout, gather_grouped, group_by_bin
+from icp_tpu.rbc.search import (
+    GroupedSearchResult,
+    SearchResult,
+    rbc_search,
+    rbc_search_grouped,
+    rbc_search_moments,
+)
