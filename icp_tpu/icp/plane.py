@@ -44,7 +44,7 @@ def plane_system_partials(mv_xyz: jnp.ndarray, f_xyz: jnp.ndarray,
         w = jnp.where(mask, w, 0.0)
     Jw = J * w[:, None]
     H = jnp.dot(Jw.T, J, precision=jax.lax.Precision.HIGHEST)
-    b = Jw.T @ r
+    b = jnp.dot(Jw.T, r, precision=jax.lax.Precision.HIGHEST)
     return H, b
 
 

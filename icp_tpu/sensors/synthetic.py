@@ -128,7 +128,8 @@ def render(scene: Scene, pose: CameraPose):
     # Planes: s = (d - n.o) / (n.D)
     n = scene.planes[:, :3]  # (P, 3)
     d = scene.planes[:, 3]  # (P,)
-    denom = jnp.einsum("pk,hwk->hwp", n, D)
+    denom = jnp.einsum("pk,hwk->hwp", n, D,
+                       precision=jax.lax.Precision.HIGHEST)
     s_pl = (d - n @ o)[None, None, :] / jnp.where(jnp.abs(denom) > 1e-8, denom, 1e-8)
     s_pl = jnp.where((s_pl > 1.0) & (jnp.abs(denom) > 1e-8), s_pl, big)
 
@@ -137,7 +138,8 @@ def render(scene: Scene, pose: CameraPose):
     r = scene.spheres[:, 3]
     oc = o - c  # (K, 3)
     A = jnp.sum(D * D, -1)[..., None]  # (H, W, 1)
-    B = 2.0 * jnp.einsum("hwk,sk->hws", D, oc)
+    B = 2.0 * jnp.einsum("hwk,sk->hws", D, oc,
+                         precision=jax.lax.Precision.HIGHEST)
     Cq = jnp.sum(oc * oc, -1)[None, None, :] - r[None, None, :] ** 2
     disc = B * B - 4.0 * A * Cq
     sqrt_disc = jnp.sqrt(jnp.maximum(disc, 0.0))

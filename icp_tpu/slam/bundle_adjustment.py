@@ -96,13 +96,14 @@ def _schur_system(problem: BAProblem, r0, A, B, w, max_degree: int,
     L = problem.points.shape[0]
 
     At_w = jnp.swapaxes(A, 1, 2) * jnp.swapaxes(w, 1, 2)  # (O, 6, 3)
-    Hcc_blocks = At_w @ A  # (O, 6, 6)
-    bc_blocks = jnp.einsum("oij,oj->oi", At_w, r0)  # (O, 6)
-    C = At_w @ B  # (O, 6, 3)  — the W blocks per observation
+    hi = jax.lax.Precision.HIGHEST
+    Hcc_blocks = jnp.matmul(At_w, A, precision=hi)  # (O, 6, 6)
+    bc_blocks = jnp.einsum("oij,oj->oi", At_w, r0, precision=hi)  # (O, 6)
+    C = jnp.matmul(At_w, B, precision=hi)  # (O, 6, 3)  — the W blocks per observation
 
     Bt_w = jnp.swapaxes(B, 1, 2) * jnp.swapaxes(w, 1, 2)
-    Hll_blocks = Bt_w @ B  # (O, 3, 3)
-    bp_blocks = jnp.einsum("oij,oj->oi", Bt_w, r0)  # (O, 3)
+    Hll_blocks = jnp.matmul(Bt_w, B, precision=hi)  # (O, 3, 3)
+    bp_blocks = jnp.einsum("oij,oj->oi", Bt_w, r0, precision=hi)  # (O, 3)
 
     # Landmark-indexed reductions.
     Hll = jnp.zeros((L, 3, 3), A.dtype).at[problem.obs_point].add(Hll_blocks)
@@ -119,16 +120,16 @@ def _schur_system(problem: BAProblem, r0, A, B, w, max_degree: int,
     g = group_by_bin(problem.obs_point.astype(jnp.int32), L, max_degree)
     Cg = jnp.where(g.valid[..., None, None], C[g.member], 0.0)  # (L, D, 6, 3)
     cam_g = problem.obs_cam[g.member]  # (L, D)
-    T = jnp.einsum("ldik,lkm->ldim", Cg, Hll_inv)  # (L, D, 6, 3)
-    cross = jnp.einsum("ldim,lejm->ldeij", T, Cg)  # (L, D, D, 6, 6)
+    T = jnp.einsum("ldik,lkm->ldim", Cg, Hll_inv, precision=hi)  # (L, D, 6, 3)
+    cross = jnp.einsum("ldim,lejm->ldeij", T, Cg, precision=hi)  # (L, D, D, 6, 6)
 
     li = jnp.broadcast_to(cam_g[:, :, None], cross.shape[:3]).reshape(-1)
     lj = jnp.broadcast_to(cam_g[:, None, :], cross.shape[:3]).reshape(-1)
     Hcc = Hcc.at[li, :, lj, :].add(-cross.reshape(-1, 6, 6))
 
     # rhs reduction: bc - W Hll^-1 bp.
-    y = jnp.einsum("lkm,lm->lk", Hll_inv, bp)  # (L, 3)
-    rhs_cross = jnp.einsum("ldim,lm->ldi", Cg, y)  # (L, D, 6)
+    y = jnp.einsum("lkm,lm->lk", Hll_inv, bp, precision=hi)  # (L, 3)
+    rhs_cross = jnp.einsum("ldim,lm->ldi", Cg, y, precision=hi)  # (L, D, 6)
     bc = bc.at[cam_g.reshape(-1)].add(
         -rhs_cross.reshape(-1, 6))
 
@@ -157,8 +158,8 @@ def ba_solve(problem: BAProblem, iterations: int = 5, max_degree: int = 8,
         # Back-substitute landmarks: dp = -Hll^-1 (bp + W^T dx_c).
         cam_g = prob.obs_cam[g.member]
         Cg = jnp.where(g.valid[..., None, None], C[g.member], 0.0)
-        wtx = jnp.einsum("ldim,ldi->lm", Cg, dx_c[cam_g])  # (L, 3)
-        dp = -jnp.einsum("lkm,lm->lk", Hll_inv, bp + wtx)
+        wtx = jnp.einsum("ldim,ldi->lm", Cg, dx_c[cam_g], precision=jax.lax.Precision.HIGHEST)  # (L, 3)
+        dp = -jnp.einsum("lkm,lm->lk", Hll_inv, bp + wtx, precision=jax.lax.Precision.HIGHEST)
 
         new_pose = jax.vmap(
             lambda q, t, xi: se3.retract(se3.Pose(q, t), xi))(
@@ -220,8 +221,8 @@ def make_sharded_ba(mesh, n_cams: int, iterations: int = 5,
 
             cam_g = p.obs_cam[g.member]
             Cg = jnp.where(g.valid[..., None, None], C[g.member], 0.0)
-            wtx = jnp.einsum("ldim,ldi->lm", Cg, dx_c[cam_g])
-            dp_pts = -jnp.einsum("lkm,lm->lk", Hll_inv, bp + wtx)
+            wtx = jnp.einsum("ldim,ldi->lm", Cg, dx_c[cam_g], precision=jax.lax.Precision.HIGHEST)
+            dp_pts = -jnp.einsum("lkm,lm->lk", Hll_inv, bp + wtx, precision=jax.lax.Precision.HIGHEST)
 
             new_pose = jax.vmap(
                 lambda q, t, xi: se3.retract(se3.Pose(q, t), xi))(

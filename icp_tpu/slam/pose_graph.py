@@ -109,11 +109,12 @@ def optimize(graph: PoseGraph, iterations: int = 10,
         w = graph.weight[:, None, None]
 
         # Normal-equation blocks per edge.
-        Hii = jnp.swapaxes(Ji, 1, 2) @ (Ji * w)
-        Hjj = jnp.swapaxes(Jj, 1, 2) @ (Jj * w)
-        Hij = jnp.swapaxes(Ji, 1, 2) @ (Jj * w)
-        bi = jnp.einsum("ekr,ek->er", Ji * w[..., 0:1], r0)
-        bj = jnp.einsum("ekr,ek->er", Jj * w[..., 0:1], r0)
+        hi = jax.lax.Precision.HIGHEST
+        Hii = jnp.matmul(jnp.swapaxes(Ji, 1, 2), Ji * w, precision=hi)
+        Hjj = jnp.matmul(jnp.swapaxes(Jj, 1, 2), Jj * w, precision=hi)
+        Hij = jnp.matmul(jnp.swapaxes(Ji, 1, 2), Jj * w, precision=hi)
+        bi = jnp.einsum("ekr,ek->er", Ji * w[..., 0:1], r0, precision=hi)
+        bj = jnp.einsum("ekr,ek->er", Jj * w[..., 0:1], r0, precision=hi)
 
         H = jnp.zeros((n, 6, n, 6), q.dtype)
         H = H.at[graph.edge_i, :, graph.edge_i, :].add(Hii)
@@ -191,11 +192,12 @@ def make_sharded_optimize(mesh, n_nodes: int, iterations: int = 10,
             r0, Ji, Jj = jax.vmap(_edge_jacobians)(poses_i, poses_j, meas)
             w = graph.weight[:, None, None]
 
-            Hii = jnp.swapaxes(Ji, 1, 2) @ (Ji * w)
-            Hjj = jnp.swapaxes(Jj, 1, 2) @ (Jj * w)
-            Hij = jnp.swapaxes(Ji, 1, 2) @ (Jj * w)
-            bi = jnp.einsum("ekr,ek->er", Ji * w[..., 0:1], r0)
-            bj = jnp.einsum("ekr,ek->er", Jj * w[..., 0:1], r0)
+            hi = jax.lax.Precision.HIGHEST
+            Hii = jnp.matmul(jnp.swapaxes(Ji, 1, 2), Ji * w, precision=hi)
+            Hjj = jnp.matmul(jnp.swapaxes(Jj, 1, 2), Jj * w, precision=hi)
+            Hij = jnp.matmul(jnp.swapaxes(Ji, 1, 2), Jj * w, precision=hi)
+            bi = jnp.einsum("ekr,ek->er", Ji * w[..., 0:1], r0, precision=hi)
+            bj = jnp.einsum("ekr,ek->er", Jj * w[..., 0:1], r0, precision=hi)
 
             H = jnp.zeros((n, 6, n, 6), q.dtype)
             H = H.at[graph.edge_i, :, graph.edge_i, :].add(Hii)
