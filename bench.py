@@ -66,11 +66,38 @@ def main() -> None:
     t_lo = timed(ITERS_LO)
     per_iter_ms = (t_hi - t_lo) / (ITERS_HI - ITERS_LO) * 1e3
 
+    # Accuracy gate on the SAME hardware: a rendered pair with known
+    # ground truth must register to the expected bound (caught a real
+    # bf16-matmul regression once; latency alone can't).
+    from icp_tpu import Objective
+    from icp_tpu.icp.quaternion import qangle_deg, qconj, qmul
+    from icp_tpu.ops.sampling import get_landmarks
+    from icp_tpu.sensors import synthetic
+    from icp_tpu.slam import se3
+
+    scene = synthetic.default_scene()
+    q_gt = np.array([0, np.sin(0.004), 0, np.cos(0.004)], np.float32)
+    t_gt = np.array([10.0, -6.0, 8.0], np.float32)
+    pose_b = synthetic.CameraPose(jnp.asarray(q_gt), jnp.asarray(t_gt))
+    la = get_landmarks(synthetic.render_cloud(
+        scene, synthetic.CameraPose.identity()).reshape(-1, 8))
+    lb = get_landmarks(synthetic.render_cloud(scene, pose_b).reshape(-1, 8))
+    rel = se3.relative(synthetic.CameraPose.identity(), pose_b)
+    acc_cfg = ICPConfig(estimate_scale=False, objective=Objective.PLANE)
+    acc_params = ICPParams(alpha=2e2).as_f32()
+    st = jax.block_until_ready(register(la, lb, acc_params, acc_cfg))
+    t_err = float(jnp.linalg.norm(st.t - rel.t))
+    a_err = float(qangle_deg(qmul(st.q, qconj(rel.q))))
+    accuracy_ok = bool(t_err < 1.0 and a_err < 0.05)
+
     print(json.dumps({
         "metric": "icp_iteration_ms_f16384_r256",
         "value": round(per_iter_ms, 4),
         "unit": "ms/iteration",
         "vs_baseline": round(BASELINE_MS / per_iter_ms, 3),
+        "accuracy_ok": accuracy_ok,
+        "plane_t_err_mm": round(t_err, 4),
+        "plane_ang_err_deg": round(a_err, 5),
     }))
 
 
