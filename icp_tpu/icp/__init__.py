@@ -12,3 +12,4 @@ from icp_tpu.icp.plane import solve_point_to_plane
 from icp_tpu.icp.run import build_index, icp_run, register
 from icp_tpu.icp.state import ICPState, identity_state
 from icp_tpu.icp.step import icp_step
+from icp_tpu.icp.pyramid import register_pyramid, subsample_grid
