@@ -29,6 +29,14 @@ import jax.numpy as jnp
 
 from icp_tpu.icp.quaternion import qnormalize
 
+# Unit balancing: translation columns of J are O(1) (unit normals) while
+# rotation columns (m x n) are O(|m|) ~ 2000 mm for Kinect data, giving
+# cond(H) ~ |m|^2 ~ 4e6 — an f32 solve would drown the sub-0.01 mm
+# increments this objective exists to resolve. Solving for [t; L*omega]
+# with rotation columns divided by L rebalances H to O(1) conditioning.
+# A fixed (static) length keeps the partials psum-compatible across shards.
+CHARACTERISTIC_LENGTH_MM = 1.0e3
+
 
 def plane_system_partials(mv_xyz: jnp.ndarray, f_xyz: jnp.ndarray,
                           normals: jnp.ndarray,
@@ -36,9 +44,12 @@ def plane_system_partials(mv_xyz: jnp.ndarray, f_xyz: jnp.ndarray,
                           mask: Optional[jnp.ndarray] = None):
     """Shard-local (H (6, 6), b (6,)) partial sums of the GN normal system —
     psum these across shards, then :func:`solve_plane_system` (distributed
-    form used by icp_tpu.parallel)."""
+    form used by icp_tpu.parallel). Rotation block is pre-scaled by
+    1/CHARACTERISTIC_LENGTH_MM (see module constant)."""
     r = jnp.sum((mv_xyz - f_xyz) * normals, axis=-1)
-    J = jnp.concatenate([normals, jnp.cross(mv_xyz, normals)], axis=-1)
+    J = jnp.concatenate(
+        [normals, jnp.cross(mv_xyz, normals) / CHARACTERISTIC_LENGTH_MM],
+        axis=-1)
     w = jnp.ones_like(r) if weights is None else weights
     if mask is not None:
         w = jnp.where(mask, w, 0.0)
@@ -50,11 +61,14 @@ def plane_system_partials(mv_xyz: jnp.ndarray, f_xyz: jnp.ndarray,
 
 def solve_plane_system(H: jnp.ndarray, b: jnp.ndarray,
                        damping: float = 1e-6):
-    """Solve the (possibly psum-combined) 6x6 system -> (qk, tk)."""
+    """Solve the (possibly psum-combined) 6x6 system -> (qk, tk).
+
+    The system is in balanced units ([t; L*omega], see
+    CHARACTERISTIC_LENGTH_MM); the rotation part is unscaled here."""
     H = H + damping * jnp.eye(6, dtype=H.dtype)
     delta = -jnp.linalg.solve(H, b)
     tk = delta[:3]
-    omega = delta[3:]
+    omega = delta[3:] / CHARACTERISTIC_LENGTH_MM
     angle = jnp.linalg.norm(omega)
     safe = jnp.where(angle > 1e-12, angle, 1.0)
     axis = omega / safe

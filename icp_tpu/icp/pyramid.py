@@ -14,10 +14,12 @@ the grid), so each level is exactly the flagship pipeline at a smaller m.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Sequence, Union
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from icp_tpu.icp.run import build_index, icp_run
@@ -28,9 +30,14 @@ from icp_tpu.runtime.config import Correspondence, ICPConfig, ICPParams
 
 def subsample_grid(landmarks8: jnp.ndarray, stride: int,
                    grid: int = LM_GRID) -> jnp.ndarray:
-    """Strided subsample of an organized (grid*grid, 8) landmark set."""
+    """Strided subsample of an organized (grid*grid, 8) landmark set.
+
+    ``stride`` must divide the grid (else the level's point count would
+    disagree with the level config's m)."""
     if stride == 1:
         return landmarks8
+    if grid % stride != 0:
+        raise ValueError(f"stride {stride} must divide the grid size {grid}")
     g = landmarks8.reshape(grid, grid, 8)
     off = stride // 2
     sub = g[off::stride, off::stride]
@@ -40,12 +47,26 @@ def subsample_grid(landmarks8: jnp.ndarray, stride: int,
 def _level_config(config: ICPConfig, stride: int) -> ICPConfig:
     if stride == 1:
         return config
+    if LM_GRID % stride != 0:
+        raise ValueError(f"stride {stride} must divide the grid size {LM_GRID}")
     m = (LM_GRID // stride) ** 2
     n_r = max(config.n_r // (stride * stride), 16)
     # round n_r down to a power of two (rep-grid constraint)
     n_r = 1 << (n_r.bit_length() - 1)
     return dataclasses.replace(
         config, m=m, n_r=n_r, bin_capacity=0, query_capacity=0)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _level(fixed8, moving8, params, config, init):
+    """One pyramid level as a single jitted dispatch (index build + the
+    full registration while_loop), warm-started from ``init``."""
+    if config.needs_index:
+        target: Union[object, jnp.ndarray] = build_index(fixed8, params,
+                                                         config)
+    else:
+        target = fixed8
+    return icp_run(moving8, target, params, config, init=init)
 
 
 def register_pyramid(fixed8: jnp.ndarray, moving8: jnp.ndarray,
@@ -55,8 +76,8 @@ def register_pyramid(fixed8: jnp.ndarray, moving8: jnp.ndarray,
 
     Args:
       fixed8, moving8: (16384, 8) organized landmark sets (128x128 order).
-      strides: grid subsampling per level, coarse to fine; the last level
-        should be 1 (full resolution).
+      strides: grid subsampling per level, coarse to fine (each must divide
+        the grid); the last level should be 1 (full resolution).
     Returns:
       the finest level's ICPState (iteration count is per-level).
     """
@@ -65,12 +86,8 @@ def register_pyramid(fixed8: jnp.ndarray, moving8: jnp.ndarray,
         cfg = _level_config(config, stride)
         f = subsample_grid(fixed8, stride)
         m = subsample_grid(moving8, stride)
-        if cfg.needs_index:
-            target: Union[object, jnp.ndarray] = build_index(f, params, cfg)
-        else:
-            target = f
         # Warm start from the previous level; reset the iteration counter
-        # so each level gets its full budget.
+        # so each level gets its full budget. One dispatch per level.
         state = state._replace(k=jnp.zeros((), jnp.int32))
-        state = icp_run(m, target, params, cfg, init=state)
+        state = _level(f, m, params, cfg, state)
     return state

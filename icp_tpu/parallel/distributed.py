@@ -38,23 +38,39 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
     if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
+    import logging
+
     kwargs = {}
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr:
         kwargs["coordinator_address"] = addr
-        kwargs["num_processes"] = int(
-            num_processes if num_processes is not None
-            else os.environ["JAX_NUM_PROCESSES"])
-        # NOTE: "or" would misroute process 0 (falsy) to the env var.
-        kwargs["process_id"] = int(
-            process_id if process_id is not None
-            else os.environ["JAX_PROCESS_ID"])
+        try:
+            kwargs["num_processes"] = int(
+                num_processes if num_processes is not None
+                else os.environ["JAX_NUM_PROCESSES"])
+            # NOTE: "or" would misroute process 0 (falsy) to the env var.
+            kwargs["process_id"] = int(
+                process_id if process_id is not None
+                else os.environ["JAX_PROCESS_ID"])
+        except KeyError as e:
+            raise ValueError(
+                f"coordinator_address given but {e.args[0]} is neither "
+                "passed nor set in the environment") from None
     try:
         jax.distributed.initialize(**kwargs)
     except (ValueError, RuntimeError) as e:
-        # Single-process contexts (tests, one-host runs) land here.
-        if "already" not in str(e).lower() and kwargs:
+        if "already" in str(e).lower():
+            return
+        if kwargs:
             raise
+        # Auto-detect path on a non-pod host: expected to fail; single-host
+        # runs proceed. Loudly warn so a genuine pod misconfiguration (which
+        # would silently degrade to N independent runs) is visible in logs.
+        logging.getLogger("icp_tpu.distributed").warning(
+            "jax.distributed auto-initialization failed (%s); continuing "
+            "single-process. If this is a multi-host run, set "
+            "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID.",
+            e)
 
 
 def make_global_mesh(n_dp: Optional[int] = None, n_mp: int = 1) -> Mesh:
@@ -81,12 +97,19 @@ def local_shard(array: np.ndarray, mesh: Mesh, axis: int = 0) -> np.ndarray:
     per-process data into a global jit without materializing the full array
     everywhere)."""
     n_dp = mesh.shape[DP_AXIS]
+    if array.shape[axis] % n_dp != 0:
+        raise ValueError(
+            f"axis {axis} (size {array.shape[axis]}) must divide evenly "
+            f"over dp={n_dp}")
     per = array.shape[axis] // n_dp
-    # dp rows owned by this process:
+    # dp rows owned by this process (must be contiguous — the process-major
+    # device ordering of make_global_mesh guarantees it; verify anyway).
     rows = [i for i in range(n_dp)
             if mesh.devices[i, 0].process_index == jax.process_index()]
     if not rows:
         raise ValueError("process owns no dp rows of this mesh")
+    if rows != list(range(rows[0], rows[-1] + 1)):
+        raise ValueError(f"process dp rows are non-contiguous: {rows}")
     lo = rows[0] * per
     hi = (rows[-1] + 1) * per
     sl = [slice(None)] * array.ndim

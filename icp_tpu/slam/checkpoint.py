@@ -33,7 +33,16 @@ def _to_np(x):
 
 def _payload(engine: SlamEngine) -> dict:
     m = engine.map
+    if not engine.trajectory:
+        raise ValueError("nothing to save: engine has processed no frames")
     return {
+        # The LAST PROCESSED frame's landmarks (not the last keyframe's):
+        # odometry resumes relative to trajectory[-1], so _prev_lms must be
+        # that frame's landmarks or every post-resume pose inherits the
+        # keyframe-to-frame offset.
+        "last_lms": (_to_np(engine._prev_lms)
+                     if engine._prev_lms is not None
+                     else np.zeros((0, 8), np.float32)),
         "version": np.int32(FORMAT_VERSION),
         "traj_q": np.stack([_to_np(p.q) for p in engine.trajectory]),
         "traj_t": np.stack([_to_np(p.t) for p in engine.trajectory]),
@@ -99,7 +108,15 @@ def load_session(path: str, engine: Optional[SlamEngine] = None,
     if version != FORMAT_VERSION:
         raise ValueError(f"unsupported snapshot version {version}")
 
-    eng = engine or SlamEngine()
+    meta = json.loads(bytes(np.asarray(data["meta"])).decode())
+    if engine is None:
+        # Reconstruct the engine with the SAVED shape config (m, n_r) —
+        # defaults would silently mismatch the restored landmark shapes.
+        from icp_tpu.runtime.config import ICPConfig
+
+        engine = SlamEngine(config=ICPConfig(
+            m=int(meta["m"]), n_r=int(meta["n_r"]), estimate_scale=False))
+    eng = engine
     eng.trajectory = [
         se3.Pose(jnp.asarray(q), jnp.asarray(t))
         for q, t in zip(data["traj_q"], data["traj_t"])
@@ -128,8 +145,10 @@ def load_session(path: str, engine: Optional[SlamEngine] = None,
     m.loop_closures = [tuple(e) for e in _get("loop_closures", (0, 2),
                                               np.int32)]
     eng.map = m
-    meta = json.loads(bytes(data["meta"]).decode())
     eng._gap_since_kf = int(meta.get("gap_since_kf", 0))
-    if m.keyframes:
+    last = _get("last_lms", (0, 8), np.float32)
+    if last.size:
+        eng._prev_lms = jnp.asarray(last)
+    elif m.keyframes:  # legacy snapshots without last_lms
         eng._prev_lms = m.keyframes[-1].landmarks
     return eng

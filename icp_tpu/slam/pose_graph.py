@@ -88,6 +88,51 @@ def _edge_jacobians(pose_i: se3.Pose, pose_j: se3.Pose, meas: se3.Pose):
     return r0, Ji, Jj
 
 
+def _assemble_system(graph: PoseGraph, q, t, n: int):
+    """Shared GN normal-system assembly: (H (n,6,n,6), b (n,6), cost).
+
+    Used by both the single-device and edge-sharded optimizers (the latter
+    psums H/b afterward)."""
+    poses_i = se3.Pose(q[graph.edge_i], t[graph.edge_i])
+    poses_j = se3.Pose(q[graph.edge_j], t[graph.edge_j])
+    meas = se3.Pose(graph.meas_q, graph.meas_t)
+
+    r0, Ji, Jj = jax.vmap(_edge_jacobians)(poses_i, poses_j, meas)
+    w = graph.weight[:, None, None]
+
+    hi = jax.lax.Precision.HIGHEST
+    Hii = jnp.matmul(jnp.swapaxes(Ji, 1, 2), Ji * w, precision=hi)
+    Hjj = jnp.matmul(jnp.swapaxes(Jj, 1, 2), Jj * w, precision=hi)
+    Hij = jnp.matmul(jnp.swapaxes(Ji, 1, 2), Jj * w, precision=hi)
+    bi = jnp.einsum("ekr,ek->er", Ji * w[..., 0:1], r0, precision=hi)
+    bj = jnp.einsum("ekr,ek->er", Jj * w[..., 0:1], r0, precision=hi)
+
+    H = jnp.zeros((n, 6, n, 6), q.dtype)
+    H = H.at[graph.edge_i, :, graph.edge_i, :].add(Hii)
+    H = H.at[graph.edge_j, :, graph.edge_j, :].add(Hjj)
+    H = H.at[graph.edge_i, :, graph.edge_j, :].add(Hij)
+    H = H.at[graph.edge_j, :, graph.edge_i, :].add(jnp.swapaxes(Hij, 1, 2))
+    b = jnp.zeros((n, 6), q.dtype)
+    b = b.at[graph.edge_i].add(bi)
+    b = b.at[graph.edge_j].add(bj)
+    cost = jnp.sum(r0 * r0 * graph.weight[:, None])
+    return H, b, cost
+
+
+def _solve_and_retract(H, b, q, t, n: int, damping: float, fix_first: bool):
+    """Dense gauge-anchored solve + pose update (shared)."""
+    Hf = H.reshape(6 * n, 6 * n)
+    bf = b.reshape(6 * n)
+    if fix_first:
+        anchor = jnp.zeros((6 * n,), q.dtype).at[:6].set(1e12)
+        Hf = Hf + jnp.diag(anchor)
+    Hf = Hf + damping * jnp.eye(6 * n, dtype=q.dtype)
+    dx = -jnp.linalg.solve(Hf, bf).reshape(n, 6)
+    new = jax.vmap(lambda qq, tt, xi: se3.retract(se3.Pose(qq, tt), xi))(
+        q, t, dx)
+    return new.q, new.t
+
+
 @partial(jax.jit, static_argnames=("iterations", "fix_first"))
 def optimize(graph: PoseGraph, iterations: int = 10,
              damping: float = 1e-6, fix_first: bool = True) -> PoseGraph:
@@ -101,43 +146,9 @@ def optimize(graph: PoseGraph, iterations: int = 10,
 
     def gn_iter(carry, _):
         q, t = carry
-        poses_i = se3.Pose(q[graph.edge_i], t[graph.edge_i])
-        poses_j = se3.Pose(q[graph.edge_j], t[graph.edge_j])
-        meas = se3.Pose(graph.meas_q, graph.meas_t)
-
-        r0, Ji, Jj = jax.vmap(_edge_jacobians)(poses_i, poses_j, meas)
-        w = graph.weight[:, None, None]
-
-        # Normal-equation blocks per edge.
-        hi = jax.lax.Precision.HIGHEST
-        Hii = jnp.matmul(jnp.swapaxes(Ji, 1, 2), Ji * w, precision=hi)
-        Hjj = jnp.matmul(jnp.swapaxes(Jj, 1, 2), Jj * w, precision=hi)
-        Hij = jnp.matmul(jnp.swapaxes(Ji, 1, 2), Jj * w, precision=hi)
-        bi = jnp.einsum("ekr,ek->er", Ji * w[..., 0:1], r0, precision=hi)
-        bj = jnp.einsum("ekr,ek->er", Jj * w[..., 0:1], r0, precision=hi)
-
-        H = jnp.zeros((n, 6, n, 6), q.dtype)
-        H = H.at[graph.edge_i, :, graph.edge_i, :].add(Hii)
-        H = H.at[graph.edge_j, :, graph.edge_j, :].add(Hjj)
-        H = H.at[graph.edge_i, :, graph.edge_j, :].add(Hij)
-        H = H.at[graph.edge_j, :, graph.edge_i, :].add(
-            jnp.swapaxes(Hij, 1, 2))
-        b = jnp.zeros((n, 6), q.dtype)
-        b = b.at[graph.edge_i].add(bi)
-        b = b.at[graph.edge_j].add(bj)
-
-        Hf = H.reshape(6 * n, 6 * n)
-        bf = b.reshape(6 * n)
-        if fix_first:
-            # Gauge fix: huge prior on node 0's update.
-            anchor = jnp.zeros((6 * n,), q.dtype).at[:6].set(1e12)
-            Hf = Hf + jnp.diag(anchor)
-        Hf = Hf + damping * jnp.eye(6 * n, dtype=q.dtype)
-
-        dx = -jnp.linalg.solve(Hf, bf).reshape(n, 6)
-        new = jax.vmap(lambda qq, tt, xi: se3.retract(se3.Pose(qq, tt), xi))(
-            q, t, dx)
-        return (new.q, new.t), jnp.sum(r0 * r0 * graph.weight[:, None])
+        H, b, cost = _assemble_system(graph, q, t, n)
+        q, t = _solve_and_retract(H, b, q, t, n, damping, fix_first)
+        return (q, t), cost
 
     (q, t), costs = jax.lax.scan(gn_iter, (graph.q, graph.t), None,
                                  length=iterations)
@@ -186,43 +197,12 @@ def make_sharded_optimize(mesh, n_nodes: int, iterations: int = 10,
     def gn_local(graph: PoseGraph) -> PoseGraph:
         def gn_iter(carry, _):
             q, t = carry
-            poses_i = se3.Pose(q[graph.edge_i], t[graph.edge_i])
-            poses_j = se3.Pose(q[graph.edge_j], t[graph.edge_j])
-            meas = se3.Pose(graph.meas_q, graph.meas_t)
-            r0, Ji, Jj = jax.vmap(_edge_jacobians)(poses_i, poses_j, meas)
-            w = graph.weight[:, None, None]
-
-            hi = jax.lax.Precision.HIGHEST
-            Hii = jnp.matmul(jnp.swapaxes(Ji, 1, 2), Ji * w, precision=hi)
-            Hjj = jnp.matmul(jnp.swapaxes(Jj, 1, 2), Jj * w, precision=hi)
-            Hij = jnp.matmul(jnp.swapaxes(Ji, 1, 2), Jj * w, precision=hi)
-            bi = jnp.einsum("ekr,ek->er", Ji * w[..., 0:1], r0, precision=hi)
-            bj = jnp.einsum("ekr,ek->er", Jj * w[..., 0:1], r0, precision=hi)
-
-            H = jnp.zeros((n, 6, n, 6), q.dtype)
-            H = H.at[graph.edge_i, :, graph.edge_i, :].add(Hii)
-            H = H.at[graph.edge_j, :, graph.edge_j, :].add(Hjj)
-            H = H.at[graph.edge_i, :, graph.edge_j, :].add(Hij)
-            H = H.at[graph.edge_j, :, graph.edge_i, :].add(
-                jnp.swapaxes(Hij, 1, 2))
-            b = jnp.zeros((n, 6), q.dtype)
-            b = b.at[graph.edge_i].add(bi)
-            b = b.at[graph.edge_j].add(bj)
-
+            H, b, _cost = _assemble_system(graph, q, t, n)
             # Combine shard partials — the only collective per iteration.
             H = jax.lax.psum(H, DP_AXIS)
             b = jax.lax.psum(b, DP_AXIS)
-
-            Hf = H.reshape(6 * n, 6 * n)
-            bf = b.reshape(6 * n)
-            if fix_first:
-                anchor = jnp.zeros((6 * n,), q.dtype).at[:6].set(1e12)
-                Hf = Hf + jnp.diag(anchor)
-            Hf = Hf + damping * jnp.eye(6 * n, dtype=q.dtype)
-            dx = -jnp.linalg.solve(Hf, bf).reshape(n, 6)
-            new = jax.vmap(
-                lambda qq, tt, xi: se3.retract(se3.Pose(qq, tt), xi))(q, t, dx)
-            return (new.q, new.t), None
+            q, t = _solve_and_retract(H, b, q, t, n, damping, fix_first)
+            return (q, t), None
 
         (q, t), _ = jax.lax.scan(gn_iter, (graph.q, graph.t), None,
                                  length=iterations)
