@@ -68,16 +68,37 @@ class SlamEngine:
     def __init__(self, params: Optional[ICPParams] = None,
                  config: Optional[ICPConfig] = None,
                  policy: KeyframePolicy = KeyframePolicy(),
-                 loop_config: LoopClosureConfig = LoopClosureConfig()):
+                 loop_config: LoopClosureConfig = LoopClosureConfig(),
+                 use_pyramid: bool = False,
+                 pyramid_strides: tuple = (4, 2, 1)):
+        """Args of note:
+          use_pyramid: run frame-to-frame registrations coarse-to-fine
+            (icp_tpu.icp.pyramid) — wider convergence basin for fast motion
+            / dropped frames, at ~1.3x the per-frame cost. Loop-closure
+            verification always uses the pyramid when enabled (closure
+            candidates have the largest pose error by construction).
+        """
         self.params = (params or ICPParams(alpha=2e2)).as_f32()
         # Rigid mode: scale drift compounds over a trajectory.
         self.config = config or ICPConfig(estimate_scale=False)
         self.policy = policy
         self.loop_config = loop_config
+        self.use_pyramid = use_pyramid
+        self.pyramid_strides = pyramid_strides
         self.map = SlamMap()
         self.trajectory: List[se3.Pose] = []
         self._prev_lms: Optional[jnp.ndarray] = None
         self._gap_since_kf = 0
+
+    def _register(self, fixed_lms, moving_lms):
+        if self.use_pyramid:
+            from icp_tpu.icp.pyramid import register_pyramid
+
+            return jax.block_until_ready(register_pyramid(
+                fixed_lms, moving_lms, self.params, self.config,
+                self.pyramid_strides))
+        return jax.block_until_ready(
+            register(fixed_lms, moving_lms, self.params, self.config))
 
     # -- frame ingestion ----------------------------------------------------
 
@@ -93,8 +114,7 @@ class SlamEngine:
             self._prev_lms = lms
             return pose
 
-        state = jax.block_until_ready(
-            register(self._prev_lms, lms, self.params, self.config))
+        state = self._register(self._prev_lms, lms)
         rel = se3.Pose(state.q, state.t)  # prev_from_cur
         pose = se3.compose(self.trajectory[-1], rel)
         self.trajectory.append(pose)
@@ -133,9 +153,7 @@ class SlamEngine:
                     or float(qangle_deg(d.q)) > lc.max_angle_deg):
                 continue
             # Verify with a full registration cand <- cur.
-            state = jax.block_until_ready(
-                register(cand.landmarks, cur.landmarks, self.params,
-                         self.config))
+            state = self._register(cand.landmarks, cur.landmarks)
             if int(state.k) > lc.max_iterations_accept:
                 continue
             self.map.edges.append((j, kf_idx))

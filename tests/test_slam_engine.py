@@ -55,6 +55,23 @@ def test_engine_tracks_and_closes_loop(rng):
         assert err < 20.0, err
 
 
+def test_engine_with_pyramid(rng):
+    """Pyramid-enabled engine tracks a fast-motion trajectory that chains
+    through the same API."""
+    scene = synthetic.default_scene()
+    poses = _loop_trajectory(3)
+    eng = SlamEngine(ICPParams(alpha=2e2),
+                     ICPConfig(estimate_scale=False),
+                     policy=KeyframePolicy(max_gap=1),
+                     use_pyramid=True, pyramid_strides=(4, 1))
+    for p in poses:
+        eng.process_frame(synthetic.render_cloud(scene, p))
+    assert len(eng.trajectory) == 3
+    for kf, gt in zip(eng.map.keyframes, poses):
+        err = np.linalg.norm(np.asarray(kf.pose.t) - np.asarray(gt.t))
+        assert err < 20.0, err
+
+
 def test_checkpoint_orbax_roundtrip(tmp_path, rng):
     import pytest
 
