@@ -53,7 +53,8 @@ def _make_pair(rng, n, angle=0.03, trans=15.0):
     return fixed, moving, q_true, t_true
 
 
-@pytest.mark.parametrize("rotation", [RotationMode.POWER, RotationMode.SVD])
+@pytest.mark.parametrize("rotation", [RotationMode.POWER, RotationMode.SVD,
+                                      RotationMode.JACOBI])
 @pytest.mark.parametrize("weighting", [Weighting.REGULAR, Weighting.WEIGHTED])
 def test_register_brute_recovers_transform(rng, rotation, weighting):
     fixed, moving, q_true, t_true = _make_pair(rng, 1024)
