@@ -46,9 +46,11 @@ from icp_tpu.runtime.config import (
 
 
 def _find_correspondences(tm: jnp.ndarray, target: Union[RBCIndex, jnp.ndarray],
-                          params: ICPParams, config: ICPConfig):
+                          params: ICPParams, config: ICPConfig,
+                          extra_rows: jnp.ndarray | None = None):
     """NN search: (moving (n, 8), matched_fixed (n, 8), nn_dist (n,), mask,
-    matched_normals (n, 3)).
+    matched_normals (n, 3), extra (n, k) — per-query side data carried
+    through the grouping, e.g. moving normals for the symmetric objective).
 
     RBC mode returns everything in the bin-grouped (permuted) layout with a
     validity mask — the reductions are permutation-invariant, so nothing is
@@ -65,10 +67,13 @@ def _find_correspondences(tm: jnp.ndarray, target: Union[RBCIndex, jnp.ndarray],
         res = rbc_search_grouped(target, tm, params.alpha,
                                  config.query_capacity,
                                  use_pallas=use_pallas,
-                                 with_normals=want_normals)
-        flat = lambda x: x.reshape((-1,) + x.shape[2:])
+                                 with_normals=want_normals,
+                                 extra_rows=extra_rows)
+        n_rows = res.queries_g.shape[0] * res.queries_g.shape[1]
+        flat = lambda x: x.reshape((n_rows,) + x.shape[2:])
         return (flat(res.queries_g), flat(res.matched_g), flat(res.dist_g),
-                flat(res.valid), flat(res.matched_normals))
+                flat(res.valid), flat(res.matched_normals),
+                flat(res.extra_g))
     db = target.db if isinstance(target, RBCIndex) else target
     if config.use_pallas and jax.default_backend() != "cpu":
         from icp_tpu.kernels.brute_nn import nearest_neighbor_brute_pallas
@@ -82,7 +87,9 @@ def _find_correspondences(tm: jnp.ndarray, target: Union[RBCIndex, jnp.ndarray],
         nrm = target.normals[nn_idx]
     else:
         nrm = jnp.zeros((tm.shape[0], 3), tm.dtype)
-    return tm, db[nn_idx], nn_dist, None, nrm
+    extra = (extra_rows if extra_rows is not None
+             else jnp.zeros((tm.shape[0], 0), tm.dtype))
+    return tm, db[nn_idx], nn_dist, None, nrm, extra
 
 
 def icp_step(state: ICPState, moving8: jnp.ndarray,
@@ -121,9 +128,17 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
         s = sk * state.s
         return ICPState(q=q, t=t, s=s, qk=qk, tk=tk, sk=sk, k=state.k + 1)
 
-    # 2. Correspondence search (grouped layout + mask in RBC mode).
-    mv, matched_f, nn_dist, mask, matched_n = _find_correspondences(
-        tm, target, params, config)
+    # 2. Correspondence search (grouped layout + mask in RBC mode). The
+    # symmetric plane objective threads the MOVING cloud's rotated normals
+    # through the grouping as per-query side data.
+    if (config.objective is Objective.PLANE and config.plane_symmetric):
+        from icp_tpu.ops.normals import normals_for
+
+        n_m = qrotate(state.q, normals_for(moving8))
+    else:
+        n_m = None
+    mv, matched_f, nn_dist, mask, matched_n, extra = _find_correspondences(
+        tm, target, params, config, extra_rows=n_m)
 
     # Discard invalid (zero-geometry) points: the reference's samplers pass
     # them through and its kernel docs defer the discard downstream
@@ -148,6 +163,10 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
 
     if config.objective is Objective.PLANE:
         # Point-to-plane Gauss-Newton step (beyond-reference accuracy mode).
+        if config.plane_symmetric:
+            # Symmetric objective: constrain along the averaged fixed+moving
+            # normal (zero moving normals self-mask to the one-sided case).
+            matched_n = matched_n + extra[..., :3]
         qk, tk = solve_point_to_plane(mv[..., :3], matched_f[..., :3],
                                       matched_n, w, mask)
         sk = jnp.ones((), mv.dtype)

@@ -46,6 +46,9 @@ class GroupedSearchResult(NamedTuple):
         empty bin); vanishingly rare at default capacities.
       matched_normals: (n_r, cq, 3) matched fixed-surface normals (zeros
         unless the index carries normals — point-to-plane objective).
+      extra_g: (n_r, cq, k) optional per-QUERY side data grouped alongside
+        the queries (e.g. moving-surface normals for the symmetric plane
+        objective); zeros-shaped (n_r, cq, 0) when unused.
     """
 
     queries_g: jnp.ndarray
@@ -54,12 +57,15 @@ class GroupedSearchResult(NamedTuple):
     valid: jnp.ndarray
     n_dropped: jnp.ndarray
     matched_normals: jnp.ndarray
+    extra_g: jnp.ndarray = None
 
 
 def rbc_search_grouped(index: RBCIndex, queries: jnp.ndarray, alpha,
                        query_capacity: int, use_pallas: bool = False,
                        interpret: bool = False,
-                       with_normals: bool = False) -> GroupedSearchResult:
+                       with_normals: bool = False,
+                       extra_rows: jnp.ndarray | None = None
+                       ) -> GroupedSearchResult:
     """RBC search returning bin-grouped results (the hot path).
 
     Identical search semantics to :func:`rbc_search`, but results stay in
@@ -77,6 +83,9 @@ def rbc_search_grouped(index: RBCIndex, queries: jnp.ndarray, alpha,
 
     qlayout = group_by_bin(query_rep, n_r, query_capacity)
     queries_g = gather_grouped(qlayout, queries)  # (n_r, cq, 8), sliced form
+    extra_g = (gather_grouped(qlayout, extra_rows)
+               if extra_rows is not None
+               else jnp.zeros(queries_g.shape[:2] + (0,), queries.dtype))
     qc = queries_g - index.reps[:, None, :]  # per-bin centering
 
     w8 = metric_weights(alpha, queries.dtype)
@@ -111,6 +120,7 @@ def rbc_search_grouped(index: RBCIndex, queries: jnp.ndarray, alpha,
             valid=valid,
             n_dropped=n_dropped,
             matched_normals=matched_n,
+            extra_g=extra_g,
         )
 
     cross = jnp.einsum("rqd,rcd->rqc", qg_w, index.bins_centered,
@@ -143,6 +153,7 @@ def rbc_search_grouped(index: RBCIndex, queries: jnp.ndarray, alpha,
         valid=valid,
         n_dropped=n_dropped,
         matched_normals=matched_n,
+        extra_g=extra_g,
     )
 
 

@@ -119,6 +119,10 @@ class ICPConfig:
     use_pallas: bool = True
     estimate_scale: bool = True
     objective: Objective = Objective.POINT
+    # PLANE refinement: use the symmetric (averaged fixed+moving) normal
+    # per pair — Rusinkiewicz-style symmetric objective, second-order
+    # convergence on smooth surfaces. Only meaningful with PLANE.
+    plane_symmetric: bool = False
     # Fully-fused search+weights+moments kernel (kernels/bin_moments.py).
     # Measured SLOWER than the bin-search kernel + XLA reductions on v5e
     # (0.65 vs 0.44 ms/iter — in-kernel scalar-column reductions outweigh

@@ -70,6 +70,35 @@ def test_plane_solver_exact_on_plane_constraints(rng):
     assert float(qangle_deg(qk)) < 0.05
 
 
+def test_symmetric_plane_at_least_as_good(rng):
+    """The symmetric (averaged-normal) variant must be at least as accurate
+    as one-sided point-to-plane and converge at least as fast."""
+    import dataclasses
+
+    scene = synthetic.default_scene()
+    A = synthetic.CameraPose.identity()
+    q = np.array([0, np.sin(0.004), 0, np.cos(0.004)], np.float32)
+    t = np.array([12.0, -7.0, 9.0], np.float32)
+    B = synthetic.CameraPose(jnp.asarray(q), jnp.asarray(t))
+    la = get_landmarks(synthetic.render_cloud(scene, A).reshape(-1, 8))
+    lb = get_landmarks(synthetic.render_cloud(scene, B).reshape(-1, 8))
+    rel = se3.relative(A, B)
+    params = ICPParams(alpha=2e2).as_f32()
+    base = ICPConfig(estimate_scale=False, objective=Objective.PLANE,
+                     max_iterations=40)
+
+    def run(sym):
+        st = register(la, lb, params,
+                      dataclasses.replace(base, plane_symmetric=sym))
+        return float(jnp.linalg.norm(st.t - rel.t)), int(st.k)
+
+    t_one, k_one = run(False)
+    t_sym, k_sym = run(True)
+    assert t_sym < 1.0
+    assert t_sym <= t_one * 1.2  # never meaningfully worse
+    assert k_sym <= k_one + 1
+
+
 @pytest.mark.parametrize("correspondence",
                          [Correspondence.RBC, Correspondence.BRUTE])
 def test_plane_beats_point_on_rendered_pair(rng, correspondence):
