@@ -61,9 +61,16 @@ def _level_config(config: ICPConfig, stride: int) -> ICPConfig:
 def _level(fixed8, moving8, params, config, init):
     """One pyramid level as a single jitted dispatch (index build + the
     full registration while_loop), warm-started from ``init``."""
-    if config.needs_index:
+    from icp_tpu.runtime.config import Correspondence, Objective
+
+    if config.correspondence is Correspondence.RBC:
         target: Union[object, jnp.ndarray] = build_index(fixed8, params,
                                                          config)
+    elif config.objective is Objective.PLANE:
+        from icp_tpu.icp.step import BruteTarget
+        from icp_tpu.ops.normals import normals_for
+
+        target = BruteTarget(db=fixed8, normals=normals_for(fixed8))
     else:
         target = fixed8
     return icp_run(moving8, target, params, config, init=init)

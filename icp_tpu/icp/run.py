@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from icp_tpu.icp.quaternion import qangle_deg
 from icp_tpu.icp.state import ICPState, identity_state
-from icp_tpu.icp.step import icp_step
+from icp_tpu.icp.step import BruteTarget, icp_step
 from icp_tpu.ops.sampling import sample_representative_indices
 from icp_tpu.rbc.construct import RBCIndex, rbc_construct
 from icp_tpu.runtime.config import Correspondence, ICPConfig, ICPParams, Objective
@@ -91,8 +91,14 @@ def register(fixed8: jnp.ndarray, moving8: jnp.ndarray,
 
     One jit dispatch end to end.
     """
-    if config.needs_index:
-        target: Union[RBCIndex, jnp.ndarray] = build_index(fixed8, params, config)
+    if config.correspondence is Correspondence.RBC:
+        target: Union[RBCIndex, BruteTarget, jnp.ndarray] = build_index(
+            fixed8, params, config)
+    elif config.objective is Objective.PLANE:
+        # Brute + plane needs only the normals, not the full RBC structure.
+        from icp_tpu.ops.normals import normals_for
+
+        target = BruteTarget(db=fixed8, normals=normals_for(fixed8))
     else:
         target = fixed8
     return icp_run(moving8, target, params, config)

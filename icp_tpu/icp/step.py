@@ -16,7 +16,7 @@ Dataflow per iteration (both variants):
 
 from __future__ import annotations
 
-from typing import Union
+from typing import NamedTuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +45,14 @@ from icp_tpu.runtime.config import (
 )
 
 
+class BruteTarget(NamedTuple):
+    """Light target for brute-force modes that need per-point side data
+    (normals for PLANE) without the full RBC structure."""
+
+    db: jnp.ndarray  # (n, 8) fixed landmarks
+    normals: jnp.ndarray  # (n, 3) fixed-surface normals
+
+
 def _find_correspondences(tm: jnp.ndarray, target: Union[RBCIndex, jnp.ndarray],
                           params: ICPParams, config: ICPConfig,
                           extra_rows: jnp.ndarray | None = None):
@@ -63,7 +71,7 @@ def _find_correspondences(tm: jnp.ndarray, target: Union[RBCIndex, jnp.ndarray],
         assert isinstance(target, RBCIndex), "RBC mode needs an RBCIndex"
         # Pallas kernels compile only on TPU; the CPU test backend takes the
         # identical-semantics XLA path (backend is known at trace time).
-        use_pallas = config.use_pallas and jax.default_backend() != "cpu"
+        use_pallas = config.use_pallas and jax.default_backend() == "tpu"
         res = rbc_search_grouped(target, tm, params.alpha,
                                  config.query_capacity,
                                  use_pallas=use_pallas,
@@ -74,16 +82,16 @@ def _find_correspondences(tm: jnp.ndarray, target: Union[RBCIndex, jnp.ndarray],
         return (flat(res.queries_g), flat(res.matched_g), flat(res.dist_g),
                 flat(res.valid), flat(res.matched_normals),
                 flat(res.extra_g))
-    db = target.db if isinstance(target, RBCIndex) else target
-    if config.use_pallas and jax.default_backend() != "cpu":
+    db = target.db if hasattr(target, "db") else target
+    if config.use_pallas and jax.default_backend() == "tpu":
         from icp_tpu.kernels.brute_nn import nearest_neighbor_brute_pallas
 
         nn_idx, nn_dist = nearest_neighbor_brute_pallas(tm, db, params.alpha)
     else:
         nn_idx, nn_dist = nearest_neighbor_brute(tm, db, params.alpha)
     if want_normals:
-        assert isinstance(target, RBCIndex), \
-            "PLANE objective needs an RBCIndex carrying normals"
+        assert hasattr(target, "normals"), \
+            "PLANE objective needs a target carrying normals"
         nrm = target.normals[nn_idx]
     else:
         nrm = jnp.zeros((tm.shape[0], 3), tm.dtype)
@@ -109,17 +117,25 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
     # 1. Transform the moving set by the accumulated similarity.
     tm = transform_points(moving8, state.q, state.t, state.s)
 
+    # Validity of each MOVING landmark, from the ORIGINAL coordinates: an
+    # invalid (zero-depth) point transformed by the accumulated state sits
+    # at exactly t, not 0, so checking transformed geometry only works on
+    # the first iteration.
+    mv_valid = (jnp.sum(jnp.abs(moving8[..., :3]), axis=-1) > 0).astype(
+        moving8.dtype)
+
     # Fast path: fully-fused search + weighting + moment reduction in one
     # Pallas pass (nothing per-point returns to HBM). POINT objective only;
     # PLANE needs per-pair Jacobian rows.
-    use_pallas = config.use_pallas and jax.default_backend() != "cpu"
+    use_pallas = config.use_pallas and jax.default_backend() == "tpu"
     if (config.use_fused_moments
             and config.correspondence is Correspondence.RBC
             and config.objective is Objective.POINT and use_pallas):
         assert isinstance(target, RBCIndex)
         S11, mean_f, mean_m, _sum_w, _nv = rbc_search_moments(
             target, tm, params.alpha, config.query_capacity,
-            weighted=config.weighting is Weighting.WEIGHTED, c=params.c)
+            weighted=config.weighting is Weighting.WEIGHTED, c=params.c,
+            query_valid=mv_valid)
         qk, tk, sk = solve_step_transform(
             S11, mean_f, mean_m, mode=config.rotation.value,
             estimate_scale=config.estimate_scale)
@@ -129,25 +145,29 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
         return ICPState(q=q, t=t, s=s, qk=qk, tk=tk, sk=sk, k=state.k + 1)
 
     # 2. Correspondence search (grouped layout + mask in RBC mode). The
-    # symmetric plane objective threads the MOVING cloud's rotated normals
-    # through the grouping as per-query side data.
+    # moving-point validity column rides through the grouping as per-query
+    # side data; the symmetric plane objective adds the moving cloud's
+    # rotated normals.
+    extra_cols = [mv_valid[:, None]]
     if (config.objective is Objective.PLANE and config.plane_symmetric):
         from icp_tpu.ops.normals import normals_for
 
-        n_m = qrotate(state.q, normals_for(moving8))
-    else:
-        n_m = None
+        extra_cols.append(qrotate(state.q, normals_for(moving8)))
     mv, matched_f, nn_dist, mask, matched_n, extra = _find_correspondences(
-        tm, target, params, config, extra_rows=n_m)
+        tm, target, params, config,
+        extra_rows=jnp.concatenate(extra_cols, axis=-1))
 
     # Discard invalid (zero-geometry) points: the reference's samplers pass
     # them through and its kernel docs defer the discard downstream
     # ("Further processing is needed for those points to be discarded",
     # kernels/icp_kernels.cl:50-51) — this is that processing. Without it a
     # cluster of invalid-to-invalid zero-distance matches anchors the
-    # solution at the origin.
+    # solution. Moving-side validity comes from the ORIGINAL coordinates
+    # (extra column 0); the fixed/matched side is untransformed, so its
+    # zero check is sound (and RBC construct already excludes invalid
+    # database points from the bins).
     pair_valid = jnp.logical_and(
-        jnp.sum(jnp.abs(mv[..., :3]), axis=-1) > 0,
+        extra[..., 0] > 0.5,
         jnp.sum(jnp.abs(matched_f[..., :3]), axis=-1) > 0,
     )
     mask = pair_valid if mask is None else jnp.logical_and(mask, pair_valid)
@@ -166,7 +186,7 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
         if config.plane_symmetric:
             # Symmetric objective: constrain along the averaged fixed+moving
             # normal (zero moving normals self-mask to the one-sided case).
-            matched_n = matched_n + extra[..., :3]
+            matched_n = matched_n + extra[..., 1:4]
         qk, tk = solve_point_to_plane(mv[..., :3], matched_f[..., :3],
                                       matched_n, w, mask)
         sk = jnp.ones((), mv.dtype)

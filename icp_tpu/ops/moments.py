@@ -69,7 +69,10 @@ def centroids(fixed8: jnp.ndarray, moving8: jnp.ndarray,
         return (jnp.sum(f * valid[:, None], 0) / n,
                 jnp.sum(m * valid[:, None], 0) / n)
     w = weights if mask is None else jnp.where(mask, weights, 0.0)
-    wn = (w / sum_w)[:, None]
+    # Guard against a fully-masked frame (sensor dropout): 0/0 would put a
+    # NaN into the state that poisons every following iteration.
+    safe_w = jnp.where(sum_w > 0, sum_w, 1.0)
+    wn = (w / safe_w)[:, None]
     return jnp.sum(f * wn, 0), jnp.sum(m * wn, 0)
 
 

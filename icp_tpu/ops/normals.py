@@ -38,10 +38,13 @@ def grid_normals(landmarks8: jnp.ndarray, grid: int = LM_GRID) -> jnp.ndarray:
     n = n * jnp.where(n[..., 2:3] > 0, -1.0, 1.0)
 
     # Invalidate where the point or any 4-neighbor has zero geometry.
+    # Edge-padded shifts (NOT roll — wraparound would invalidate one image
+    # border based on the opposite border's holes).
     valid = jnp.abs(pts).sum(-1) > 0
-    v = valid
-    v = v & jnp.roll(valid, 1, 0) & jnp.roll(valid, -1, 0)
-    v = v & jnp.roll(valid, 1, 1) & jnp.roll(valid, -1, 1)
+    vp = jnp.pad(valid, 1, mode="edge")
+    v = (valid
+         & vp[:-2, 1:-1] & vp[2:, 1:-1]
+         & vp[1:-1, :-2] & vp[1:-1, 2:])
     n = jnp.where(v[..., None], n, 0.0)
     return n.reshape(grid * grid, 3)
 

@@ -71,9 +71,30 @@ def sample_representative_indices(n: int, n_r: int,
 
     Representatives ARE landmarks at statically known positions, so their
     database indices never need a search (used to skip the RBC construct's
-    rep->database argmin)."""
-    if n == LM_GRID * LM_GRID and grid is not None:
-        return representative_landmark_indices(*grid)
+    rep->database argmin).
+
+    Any perfect-square n is treated as an organized side x side grid and
+    sampled in 2-D (the reference rule generalized): a 1-D stride on an
+    organized grid degenerates to a single column whenever the stride is a
+    multiple of the row width — every representative on one image column.
+    """
+    side = int(round(n ** 0.5))
+    if side * side == n and side >= 4:
+        if n == LM_GRID * LM_GRID and grid is not None:
+            n_ry, n_rx = grid
+        else:
+            p = n_r.bit_length() - 1
+            if (1 << p) == n_r:
+                n_ry, n_rx = 1 << (p // 2), 1 << (p - p // 2)
+            else:
+                n_ry = n_rx = 0
+        if n_ry and side % n_rx == 0 and side % n_ry == 0:
+            step_x = side // n_rx
+            step_y = side // n_ry
+            ys = jnp.arange(n_ry) * step_y + max(step_y // 2 - 1, 0)
+            xs = jnp.arange(n_rx) * step_x + max(step_x // 2 - 1, 0)
+            return (ys[:, None] * side + xs[None, :]).reshape(-1).astype(
+                jnp.int32)
     step = n // n_r
     return (jnp.arange(n_r) * step + max(step // 2 - 1, 0)).astype(jnp.int32)
 

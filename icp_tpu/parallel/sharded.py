@@ -127,7 +127,7 @@ def _sharded_rbc_nn(index: RBCIndex, queries: jnp.ndarray, params: ICPParams,
     w8 = metric_weights(params.alpha, queries.dtype)
     qg_w = qgroups * w8
     sq_q = jnp.sum(qg_w * qgroups, axis=-1)
-    if config.use_pallas and jax.default_backend() != "cpu":
+    if config.use_pallas and jax.default_backend() == "tpu":
         # Same fused VMEM kernel as the single-chip path, on the local bin
         # slice; the winner's bin id rides in the payload (one extra lane).
         from icp_tpu.kernels.bin_search import bin_search_pallas

@@ -44,22 +44,36 @@ def box_filter(x: jnp.ndarray, r: int) -> jnp.ndarray:
 
 def guided_filter(guide: jnp.ndarray, src: jnp.ndarray,
                   radius: int = DEFAULT_RADIUS,
-                  eps: float = DEFAULT_EPS) -> jnp.ndarray:
+                  eps: float = DEFAULT_EPS,
+                  mask: jnp.ndarray = None) -> jnp.ndarray:
     """Gray guided filter q = mean(a) * I + mean(b) (He et al. 2010).
 
     Args:
       guide: (H, W) guide image I.
       src: (H, W) input p to be filtered.
+      mask: optional (H, W) validity — statistics become normalized
+        convolutions over valid pixels only (invalid pixels otherwise enter
+        the window means as literal zeros and bias every valid neighbor,
+        e.g. a ~2 mm pull around each depth hole at 2 m range).
     """
-    mean_i = box_filter(guide, radius)
-    mean_p = box_filter(src, radius)
-    corr_ip = box_filter(guide * src, radius)
-    corr_ii = box_filter(guide * guide, radius)
+    if mask is None:
+        mean = lambda x: box_filter(x, radius)
+    else:
+        v = mask.astype(guide.dtype)
+        denom = jnp.maximum(box_filter(v, radius), 1e-12)
+
+        def mean(x):
+            return box_filter(x * v, radius) / denom
+
+    mean_i = mean(guide)
+    mean_p = mean(src)
+    corr_ip = mean(guide * src)
+    corr_ii = mean(guide * guide)
     var_i = corr_ii - mean_i * mean_i
     cov_ip = corr_ip - mean_i * mean_p
     a = cov_ip / (var_i + eps)
     b = mean_p - a * mean_i
-    return box_filter(a, radius) * guide + box_filter(b, radius)
+    return mean(a) * guide + mean(b)
 
 
 @partial(jax.jit, static_argnames=("radius",))
@@ -78,7 +92,9 @@ def filter_depth(depth_mm: jnp.ndarray, radius: int = DEFAULT_RADIUS,
     """Self-guided filtering of an (H, W) depth map in mm.
 
     Depth is scaled to meters first (reference depth scaling 1e-3) so eps is
-    commensurate; invalid (zero) pixels stay invalid."""
+    commensurate; invalid (zero) pixels stay invalid AND are excluded from
+    the window statistics (normalized convolution)."""
     d = depth_mm * DEPTH_SCALE
-    out = guided_filter(d, d, radius, eps) / DEPTH_SCALE
-    return jnp.where(depth_mm > 0, out, 0.0)
+    valid = depth_mm > 0
+    out = guided_filter(d, d, radius, eps, mask=valid) / DEPTH_SCALE
+    return jnp.where(valid, out, 0.0)

@@ -123,6 +123,27 @@ def test_register_with_invalid_points(rng):
     assert np.isfinite(np.asarray(state.T)).all()
 
 
+def test_invalid_points_large_translation_regular(rng):
+    """Regression: invalid-point validity must come from the ORIGINAL
+    coordinates. A transformed invalid point sits at exactly t (not 0), so
+    a transformed-geometry check stops filtering after iteration 1 —
+    REGULAR weighting + large t + many holes is the adversarial regime."""
+    fixed, moving, q_true, t_true = _make_pair(rng, 4096, angle=0.02,
+                                               trans=40.0)
+    fixed = np.array(fixed)
+    moving = np.array(moving)
+    for arr in (fixed, moving):
+        idx = rng.choice(arr.shape[0], arr.shape[0] // 5, replace=False)
+        arr[idx] = 0.0
+    config = ICPConfig(m=4096, n_r=64, weighting=Weighting.REGULAR,
+                       estimate_scale=False, max_iterations=40)
+    state = register(jnp.asarray(fixed), jnp.asarray(moving),
+                     ICPParams(alpha=2e2).as_f32(), config)
+    q_err = qmul(state.q, qconj(jnp.asarray(q_true)))
+    assert float(qangle_deg(q_err)) < 0.1
+    np.testing.assert_allclose(np.asarray(state.t), t_true, atol=2.0)
+
+
 def test_run_respects_max_iterations(rng):
     fixed, moving, *_ = _make_pair(rng, 1024, angle=0.3, trans=100.0)
     config = ICPConfig(m=1024, n_r=16, correspondence=Correspondence.BRUTE,
