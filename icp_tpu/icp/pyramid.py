@@ -66,7 +66,7 @@ def _level(fixed8, moving8, params, config, init):
     if config.correspondence is Correspondence.RBC:
         target: Union[object, jnp.ndarray] = build_index(fixed8, params,
                                                          config)
-    elif config.objective is Objective.PLANE:
+    elif config.needs_normals:
         from icp_tpu.icp.step import BruteTarget
         from icp_tpu.ops.normals import normals_for
 

@@ -72,7 +72,7 @@ def build_index(fixed8: jnp.ndarray, params: ICPParams,
     rep_ids = sample_representative_indices(fixed8.shape[0], config.n_r,
                                             config.rep_grid)
     reps = fixed8[rep_ids]
-    if config.objective is Objective.PLANE:
+    if config.needs_normals:
         from icp_tpu.ops.normals import normals_for
 
         normals = normals_for(fixed8)
@@ -94,8 +94,9 @@ def register(fixed8: jnp.ndarray, moving8: jnp.ndarray,
     if config.correspondence is Correspondence.RBC:
         target: Union[RBCIndex, BruteTarget, jnp.ndarray] = build_index(
             fixed8, params, config)
-    elif config.objective is Objective.PLANE:
-        # Brute + plane needs only the normals, not the full RBC structure.
+    elif config.needs_normals:
+        # Brute + plane/GICP needs only the normals, not the full RBC
+        # structure.
         from icp_tpu.ops.normals import normals_for
 
         target = BruteTarget(db=fixed8, normals=normals_for(fixed8))

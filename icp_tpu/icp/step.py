@@ -66,7 +66,7 @@ def _find_correspondences(tm: jnp.ndarray, target: Union[RBCIndex, jnp.ndarray],
     src/ICP/algorithms.cpp:3352-3363). Brute mode returns original order
     with mask=None.
     """
-    want_normals = config.objective is Objective.PLANE
+    want_normals = config.needs_normals
     if config.correspondence is Correspondence.RBC:
         assert isinstance(target, RBCIndex), "RBC mode needs an RBCIndex"
         # Pallas kernels compile only on TPU; the CPU test backend takes the
@@ -91,7 +91,7 @@ def _find_correspondences(tm: jnp.ndarray, target: Union[RBCIndex, jnp.ndarray],
         nn_idx, nn_dist = nearest_neighbor_brute(tm, db, params.alpha)
     if want_normals:
         assert hasattr(target, "normals"), \
-            "PLANE objective needs a target carrying normals"
+            "normal-consuming objectives need a target carrying normals"
         nrm = target.normals[nn_idx]
     else:
         nrm = jnp.zeros((tm.shape[0], 3), tm.dtype)
@@ -120,9 +120,13 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
     # Validity of each MOVING landmark, from the ORIGINAL coordinates: an
     # invalid (zero-depth) point transformed by the accumulated state sits
     # at exactly t, not 0, so checking transformed geometry only works on
-    # the first iteration.
+    # the first iteration. The flag rides in the query vector's lane 7 (the
+    # photometric homogeneous slot, metric weight 0 — free transport through
+    # every grouping/gather; a separate (m, 1) array pads to 128 lanes on
+    # TPU and costs ~0.2 ms/iteration in gathers).
     mv_valid = (jnp.sum(jnp.abs(moving8[..., :3]), axis=-1) > 0).astype(
         moving8.dtype)
+    tm = tm.at[:, 7].set(mv_valid)
 
     # Fast path: fully-fused search + weighting + moment reduction in one
     # Pallas pass (nothing per-point returns to HBM). POINT objective only;
@@ -134,8 +138,7 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
         assert isinstance(target, RBCIndex)
         S11, mean_f, mean_m, _sum_w, _nv = rbc_search_moments(
             target, tm, params.alpha, config.query_capacity,
-            weighted=config.weighting is Weighting.WEIGHTED, c=params.c,
-            query_valid=mv_valid)
+            weighted=config.weighting is Weighting.WEIGHTED, c=params.c)
         qk, tk, sk = solve_step_transform(
             S11, mean_f, mean_m, mode=config.rotation.value,
             estimate_scale=config.estimate_scale)
@@ -145,29 +148,28 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
         return ICPState(q=q, t=t, s=s, qk=qk, tk=tk, sk=sk, k=state.k + 1)
 
     # 2. Correspondence search (grouped layout + mask in RBC mode). The
-    # moving-point validity column rides through the grouping as per-query
-    # side data; the symmetric plane objective adds the moving cloud's
-    # rotated normals.
-    extra_cols = [mv_valid[:, None]]
-    if (config.objective is Objective.PLANE and config.plane_symmetric):
+    # symmetric plane objective and GICP thread the moving cloud's rotated
+    # normals through the grouping as per-query side data.
+    if ((config.objective is Objective.PLANE and config.plane_symmetric)
+            or config.objective is Objective.GICP):
         from icp_tpu.ops.normals import normals_for
 
-        extra_cols.append(qrotate(state.q, normals_for(moving8)))
+        extra_rows = qrotate(state.q, normals_for(moving8))
+    else:
+        extra_rows = None
     mv, matched_f, nn_dist, mask, matched_n, extra = _find_correspondences(
-        tm, target, params, config,
-        extra_rows=jnp.concatenate(extra_cols, axis=-1))
+        tm, target, params, config, extra_rows=extra_rows)
 
     # Discard invalid (zero-geometry) points: the reference's samplers pass
     # them through and its kernel docs defer the discard downstream
     # ("Further processing is needed for those points to be discarded",
-    # kernels/icp_kernels.cl:50-51) — this is that processing. Without it a
-    # cluster of invalid-to-invalid zero-distance matches anchors the
-    # solution. Moving-side validity comes from the ORIGINAL coordinates
-    # (extra column 0); the fixed/matched side is untransformed, so its
+    # kernels/icp_kernels.cl:50-51) — this is that processing. Moving-side
+    # validity is read back from query lane 7 (set from ORIGINAL
+    # coordinates above); the fixed/matched side is untransformed, so its
     # zero check is sound (and RBC construct already excludes invalid
     # database points from the bins).
     pair_valid = jnp.logical_and(
-        extra[..., 0] > 0.5,
+        mv[..., 7] > 0.5,
         jnp.sum(jnp.abs(matched_f[..., :3]), axis=-1) > 0,
     )
     mask = pair_valid if mask is None else jnp.logical_and(mask, pair_valid)
@@ -186,9 +188,17 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
         if config.plane_symmetric:
             # Symmetric objective: constrain along the averaged fixed+moving
             # normal (zero moving normals self-mask to the one-sided case).
-            matched_n = matched_n + extra[..., 1:4]
+            matched_n = matched_n + extra[..., :3]
         qk, tk = solve_point_to_plane(mv[..., :3], matched_f[..., :3],
                                       matched_n, w, mask)
+        sk = jnp.ones((), mv.dtype)
+    elif config.objective is Objective.GICP:
+        # Plane-to-plane Mahalanobis GN step; moving normals (rotated into
+        # the fixed frame) arrive through the extra-rows side channel.
+        from icp_tpu.icp.gicp import solve_gicp
+
+        qk, tk = solve_gicp(mv[..., :3], matched_f[..., :3], matched_n,
+                            extra[..., :3], params.gicp_epsilon, w, mask)
         sk = jnp.ones((), mv.dtype)
     else:
         # 4-5. Centroids and deviations.

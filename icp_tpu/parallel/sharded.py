@@ -177,7 +177,8 @@ def _sharded_rbc_nn(index: RBCIndex, queries: jnp.ndarray, params: ICPParams,
 
 def sharded_icp_step(state: ICPState, moving_local: jnp.ndarray,
                      index: RBCIndex, params: ICPParams, config: ICPConfig,
-                     n_r_local: int, query_capacity: int) -> ICPState:
+                     n_r_local: int, query_capacity: int,
+                     mnormals_local: Optional[jnp.ndarray] = None) -> ICPState:
     """One ICP iteration with dp-sharded queries and mp-sharded bins.
 
     Call INSIDE shard_map over a (dp, mp) mesh.
@@ -196,9 +197,11 @@ def sharded_icp_step(state: ICPState, moving_local: jnp.ndarray,
     both = (DP_AXIS, MP_AXIS)
     mp_size = jax.lax.axis_size(MP_AXIS)
     # Invalid (zero-geometry) pair discard — same rule as the single-chip
-    # step (see icp_tpu.icp.step).
+    # step. Moving validity comes from the ORIGINAL local coordinates (a
+    # transformed invalid point sits at t, not 0); results here are in
+    # original dp-local order so no lane trick is needed.
     mask = jnp.logical_and(
-        jnp.sum(jnp.abs(tm[..., :3]), axis=-1) > 0,
+        jnp.sum(jnp.abs(moving_local[..., :3]), axis=-1) > 0,
         jnp.sum(jnp.abs(matched_f[..., :3]), axis=-1) > 0,
     )
     if config.weighting is Weighting.WEIGHTED:
@@ -213,6 +216,21 @@ def sharded_icp_step(state: ICPState, moving_local: jnp.ndarray,
 
         H, b = plane_system_partials(tm[..., :3], matched_f[..., :3],
                                      index.normals[nn_id], w, mask)
+        H = jax.lax.psum(H, both) / mp_size
+        b = jax.lax.psum(b, both) / mp_size
+        qk, tk = solve_plane_system(H, b)
+        sk = jnp.ones((), tm.dtype)
+    elif config.objective is Objective.GICP:
+        # Plane-to-plane Mahalanobis partials; same psum contract as PLANE.
+        # Moving normals are precomputed on the full grid (sharded over dp)
+        # and rotated by the accumulated q each iteration.
+        from icp_tpu.icp.gicp import gicp_system_partials
+        from icp_tpu.icp.plane import solve_plane_system
+
+        n_m = qrotate(state.q, mnormals_local)
+        H, b = gicp_system_partials(tm[..., :3], matched_f[..., :3],
+                                    index.normals[nn_id], n_m,
+                                    params.gicp_epsilon, w, mask)
         H = jax.lax.psum(H, both) / mp_size
         b = jax.lax.psum(b, both) / mp_size
         qk, tk = solve_plane_system(H, b)
@@ -246,7 +264,8 @@ def sharded_icp_step(state: ICPState, moving_local: jnp.ndarray,
 
 
 def sharded_icp_run(moving_local, index, params, config,
-                    n_r_local, query_capacity) -> ICPState:
+                    n_r_local, query_capacity,
+                    mnormals_local=None) -> ICPState:
     """Device-resident convergence loop (inside shard_map)."""
     state = identity_state(moving_local.dtype)
 
@@ -258,7 +277,8 @@ def sharded_icp_run(moving_local, index, params, config,
 
     def body(s):
         return sharded_icp_step(s, moving_local, index, params, config,
-                                n_r_local, query_capacity)
+                                n_r_local, query_capacity,
+                                mnormals_local=mnormals_local)
 
     return jax.lax.while_loop(cond, body, state)
 
@@ -282,13 +302,13 @@ def make_sharded_register(mesh, config: ICPConfig):
     query_capacity = max(4 * m_local // config.n_r, 8)
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(DP_AXIS, None), P()),
+             in_specs=(P(), P(DP_AXIS, None), P(DP_AXIS, None), P()),
              out_specs=P(),
              check_vma=False)
-    def _run(fixed8, moving_local, params):
+    def _run(fixed8, moving_local, mnormals_local, params):
         rep_ids = sample_representative_indices(
             fixed8.shape[0], config.n_r, config.rep_grid)
-        if config.objective is Objective.PLANE:
+        if config.needs_normals:
             from icp_tpu.ops.normals import normals_for
 
             normals = normals_for(fixed8)
@@ -298,10 +318,20 @@ def make_sharded_register(mesh, config: ICPConfig):
                               config.bin_capacity, rep_db_ids=rep_ids,
                               normals=normals)
         return sharded_icp_run(moving_local, index, params, config,
-                               n_r_local, query_capacity)
+                               n_r_local, query_capacity,
+                               mnormals_local=mnormals_local)
 
     @jax.jit
     def run(fixed8, moving8, params):
-        return _run(fixed8, moving8, params)
+        # Moving normals need the FULL organized grid, so they are computed
+        # before the shard_map and row-sharded alongside the moving points
+        # (GICP only; a cheap zero placeholder otherwise keeps one spec).
+        if config.objective is Objective.GICP:
+            from icp_tpu.ops.normals import normals_for
+
+            mnormals = normals_for(moving8)
+        else:
+            mnormals = jnp.zeros((moving8.shape[0], 3), moving8.dtype)
+        return _run(fixed8, moving8, mnormals, params)
 
     return run

@@ -159,8 +159,7 @@ def rbc_search_grouped(index: RBCIndex, queries: jnp.ndarray, alpha,
 
 def rbc_search_moments(index: RBCIndex, queries: jnp.ndarray, alpha,
                        query_capacity: int, weighted: bool, c,
-                       interpret: bool = False,
-                       query_valid: jnp.ndarray | None = None):
+                       interpret: bool = False):
     """FULLY-fused search path: one Pallas pass produces per-bin moment
     partials (icp_tpu.kernels.bin_moments) and this function assembles the
     global Horn inputs — nothing per-point ever returns to HBM.
@@ -190,14 +189,13 @@ def rbc_search_moments(index: RBCIndex, queries: jnp.ndarray, alpha,
     w8 = metric_weights(alpha, queries.dtype)
     qg_w = qc * w8
     sq_q = jnp.sum(qg_w * qc, axis=-1)
-    if query_valid is not None:
-        # Caller-supplied validity (from ORIGINAL coordinates — transformed
-        # invalid points sit at t, not 0, so a geometry check here would
-        # stop filtering after the first iteration).
-        qv = gather_grouped(qlayout, query_valid[:, None])[..., 0] > 0.5
-    else:
-        qv = jnp.sum(jnp.abs(queries_g[..., :3]), axis=-1) > 0
-    qvalid = jnp.logical_and(qlayout.valid, qv).astype(jnp.float32)
+    # Query validity rides in lane 7 of the query vectors (metric weight 0;
+    # icp_step sets it from the ORIGINAL coordinates — transformed invalid
+    # points sit at t, not 0, so a geometry check here would stop filtering
+    # after the first iteration). Callers who never clear lane 7 (the
+    # homogeneous 1) get all-valid, the natural default.
+    qvalid = jnp.logical_and(
+        qlayout.valid, queries_g[..., 7] > 0.5).astype(jnp.float32)
 
     mom = bin_moments_pallas(qg_w, index.bins_centered, index.sq_b_masked,
                              sq_q, qvalid, weighted=weighted,

@@ -59,6 +59,13 @@ class Objective(enum.Enum):
 
     POINT = "point"
     PLANE = "plane"
+    # Generalized-ICP (Segal et al., RSS 2009): plane-to-plane. Each point
+    # carries a disk covariance C = I - (1 - eps) n n^T (thin along its
+    # surface normal); pairs are weighted by the 3x3 Mahalanobis matrix
+    # (C_f + R C_m R^T)^{-1}. Degrades gracefully: zero normals give C = I
+    # (isotropic, point-to-point behavior), so unorganized clouds still
+    # work. Like PLANE this implies rigid (s_k = 1).
+    GICP = "gicp"
 
 
 class Correspondence(enum.Enum):
@@ -150,11 +157,18 @@ class ICPConfig:
                                max(((2 * mean_occ + 127) // 128) * 128, 16))
 
     @property
+    def needs_normals(self) -> bool:
+        """True when the objective consumes fixed-surface normals (PLANE
+        point-to-plane; GICP plane-to-plane covariances)."""
+        return self.objective in (Objective.PLANE, Objective.GICP)
+
+    @property
     def needs_index(self) -> bool:
         """True when the pipeline must build an RBCIndex: RBC correspondence
-        always; the PLANE objective too (the index carries the normals)."""
+        always; the normal-consuming objectives too (the index carries the
+        normals)."""
         return (self.correspondence is Correspondence.RBC
-                or self.objective is Objective.PLANE)
+                or self.needs_normals)
 
     @property
     def rep_grid(self) -> tuple[int, int]:
@@ -185,12 +199,15 @@ class ICPParams:
       angle, degrees (reference default 0.001).
     translation_threshold: convergence threshold on ||t_k||, in the cloud's
       length unit (mm for Kinect data; reference default 0.01).
+    gicp_epsilon: GICP disk-covariance thickness along the normal
+      (Segal et al. use 1e-3); only read by Objective.GICP.
     """
 
     alpha: Any = 1e2
     c: Any = 1e-6
     angle_threshold_deg: Any = 0.001
     translation_threshold: Any = 0.01
+    gicp_epsilon: Any = 1e-3
 
     def tree_flatten(self):
         children = (
@@ -198,6 +215,7 @@ class ICPParams:
             self.c,
             self.angle_threshold_deg,
             self.translation_threshold,
+            self.gicp_epsilon,
         )
         return children, None
 
@@ -211,4 +229,5 @@ class ICPParams:
             c=jnp.float32(self.c),
             angle_threshold_deg=jnp.float32(self.angle_threshold_deg),
             translation_threshold=jnp.float32(self.translation_threshold),
+            gicp_epsilon=jnp.float32(self.gicp_epsilon),
         )

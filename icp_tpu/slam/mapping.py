@@ -164,9 +164,14 @@ class SlamEngine:
 
     # -- backend ------------------------------------------------------------
 
-    def optimize_map(self, iterations: int = 10) -> PoseGraph:
+    def optimize_map(self, iterations: int = 10,
+                     use_pcg: bool | None = None) -> PoseGraph:
         """Run the pose-graph backend and write the refined poses back to
-        the keyframes (and re-anchor the trajectory tail)."""
+        the keyframes (and re-anchor the trajectory tail).
+
+        ``use_pcg`` selects the matrix-free PCG solver; the default picks it
+        automatically for maps beyond the dense 6N solve's comfort zone
+        (> 512 keyframes)."""
         if len(self.map.keyframes) < 2:
             raise ValueError("need at least two keyframes to optimize")
         graph = graph_from_poses(
@@ -174,7 +179,15 @@ class SlamEngine:
             [k.pose.t for k in self.map.keyframes],
             self.map.edges, self.map.measurements,
             np.asarray(self.map.weights, np.float32))
-        out = jax.block_until_ready(optimize(graph, iterations=iterations))
+        if use_pcg is None:
+            use_pcg = len(self.map.keyframes) > 512
+        if use_pcg:
+            from icp_tpu.slam.pose_graph import optimize_pcg
+
+            out = jax.block_until_ready(
+                optimize_pcg(graph, iterations=iterations))
+        else:
+            out = jax.block_until_ready(optimize(graph, iterations=iterations))
         for i, kf in enumerate(self.map.keyframes):
             kf.pose = se3.Pose(out.q[i], out.t[i])
         return out

@@ -155,6 +155,122 @@ def optimize(graph: PoseGraph, iterations: int = 10,
     return graph._replace(q=q, t=t)
 
 
+def _edge_partials(graph: PoseGraph, q, t):
+    """Per-edge linearization (r0, Ji, Jj) and the gradient b = J^T W r
+    scattered to nodes — shared by the PCG path."""
+    poses_i = se3.Pose(q[graph.edge_i], t[graph.edge_i])
+    poses_j = se3.Pose(q[graph.edge_j], t[graph.edge_j])
+    meas = se3.Pose(graph.meas_q, graph.meas_t)
+    r0, Ji, Jj = jax.vmap(_edge_jacobians)(poses_i, poses_j, meas)
+    hi = jax.lax.Precision.HIGHEST
+    wr = r0 * graph.weight[:, None]
+    n = q.shape[0]
+    b = jnp.zeros((n, 6), q.dtype)
+    b = b.at[graph.edge_i].add(
+        jnp.einsum("ekr,ek->er", Ji, wr, precision=hi))
+    b = b.at[graph.edge_j].add(
+        jnp.einsum("ekr,ek->er", Jj, wr, precision=hi))
+    return r0, Ji, Jj, b
+
+
+def _make_hvp(graph: PoseGraph, Ji, Jj, n: int, damping, anchor):
+    """Matrix-free normal-matrix product v -> (H + damping I + anchor) v.
+
+    One gather + two batched (E, 6, 6) x (E, 6) products + one scatter-add
+    per application — O(E) memory instead of the dense path's O(36 N^2).
+    The gauge anchor adds ``anchor`` to node 0's diagonal block."""
+    hi = jax.lax.Precision.HIGHEST
+    w = graph.weight[:, None]
+
+    def hvp(v):
+        yi = jnp.einsum("ekr,er->ek", Ji, v[graph.edge_i], precision=hi)
+        yj = jnp.einsum("ekr,er->ek", Jj, v[graph.edge_j], precision=hi)
+        wy = (yi + yj) * w
+        out = jnp.zeros((n, 6), v.dtype)
+        out = out.at[graph.edge_i].add(
+            jnp.einsum("ekr,ek->er", Ji, wy, precision=hi))
+        out = out.at[graph.edge_j].add(
+            jnp.einsum("ekr,ek->er", Jj, wy, precision=hi))
+        out = out + damping * v
+        return out.at[0].add(anchor * v[0])
+
+    return hvp
+
+
+def _block_jacobi_inv(graph: PoseGraph, Ji, Jj, n: int, damping, anchor):
+    """Inverse diagonal 6x6 blocks of H (block-Jacobi preconditioner)."""
+    hi = jax.lax.Precision.HIGHEST
+    w = graph.weight[:, None, None]
+    Hii = jnp.matmul(jnp.swapaxes(Ji, 1, 2), Ji * w, precision=hi)
+    Hjj = jnp.matmul(jnp.swapaxes(Jj, 1, 2), Jj * w, precision=hi)
+    D = jnp.zeros((n, 6, 6), Ji.dtype)
+    D = D.at[graph.edge_i].add(Hii)
+    D = D.at[graph.edge_j].add(Hjj)
+    D = D + damping * jnp.eye(6, dtype=Ji.dtype)
+    D = D.at[0].add(anchor * jnp.eye(6, dtype=Ji.dtype))
+    return jnp.linalg.inv(D)
+
+
+def _pcg(hvp, Minv, b, iters: int):
+    """Fixed-iteration preconditioned CG for H x = -b (x0 = 0). A static
+    trip count keeps the whole solve one fused lax.scan — no host syncs or
+    data-dependent control flow (TPU/XLA friendly); a residual-based early
+    exit would buy nothing at these sizes."""
+    apply_M = lambda r: jnp.einsum("nij,nj->ni", Minv, r)
+    x0 = jnp.zeros_like(b)
+    r0 = -b  # residual of H x + b at x = 0
+    z0 = apply_M(r0)
+    p0 = z0
+
+    def body(carry, _):
+        x, r, z, p = carry
+        Hp = hvp(p)
+        rz = jnp.sum(r * z)
+        denom = jnp.sum(p * Hp)
+        alpha = rz / jnp.where(jnp.abs(denom) > 1e-30, denom, 1.0)
+        x = x + alpha * p
+        r_new = r - alpha * Hp
+        z_new = apply_M(r_new)
+        beta = jnp.sum(r_new * z_new) / jnp.where(jnp.abs(rz) > 1e-30, rz, 1.0)
+        p = z_new + beta * p
+        return (x, r_new, z_new, p), None
+
+    (x, *_), _ = jax.lax.scan(body, (x0, r0, z0, p0), None, length=iters)
+    return x
+
+
+@partial(jax.jit, static_argnames=("iterations", "cg_iterations",
+                                   "fix_first"))
+def optimize_pcg(graph: PoseGraph, iterations: int = 10,
+                 cg_iterations: int = 32, damping: float = 1e-4,
+                 fix_first: bool = True,
+                 anchor_weight: float = 1e6) -> PoseGraph:
+    """Gauss-Newton with a matrix-free PCG inner solve.
+
+    Scales past the dense path's ~10^3-node limit (ROADMAP item): memory is
+    O(E) per Hv product instead of O(36 N^2) for the assembled H, and each
+    CG iteration is gather + batched 6x6 matvecs + scatter-add — all
+    MXU/VPU-batched with static shapes. Block-Jacobi preconditioning keeps
+    CG iteration counts low on chain+loop graphs.
+    """
+    n = graph.q.shape[0]
+    anchor = anchor_weight if fix_first else 0.0
+
+    def gn_iter(carry, _):
+        q, t = carry
+        _r0, Ji, Jj, b = _edge_partials(graph, q, t)
+        hvp = _make_hvp(graph, Ji, Jj, n, damping, anchor)
+        Minv = _block_jacobi_inv(graph, Ji, Jj, n, damping, anchor)
+        dx = _pcg(hvp, Minv, b, cg_iterations)
+        new = jax.vmap(lambda qq, tt, xi: se3.retract(se3.Pose(qq, tt), xi))(
+            q, t, dx)
+        return (new.q, new.t), None
+
+    (q, t), _ = jax.lax.scan(gn_iter, (graph.q, graph.t), None,
+                             length=iterations)
+    return graph._replace(q=q, t=t)
+
+
 def pad_edges(graph: PoseGraph, multiple: int) -> PoseGraph:
     """Pad the edge arrays to a multiple (for even dp sharding) with
     zero-weight identity self-edges on node 0 — they contribute nothing."""

@@ -123,3 +123,32 @@ def test_anchor_fixed(rng):
     np.testing.assert_allclose(np.asarray(out.t[0]), np.zeros(3), atol=1e-3)
     np.testing.assert_allclose(np.asarray(out.q[0]),
                                np.array([0, 0, 0, 1.0]), atol=1e-4)
+
+
+def test_pcg_matches_dense(rng):
+    """Matrix-free PCG GN must land where the dense solve lands."""
+    from icp_tpu.slam.pose_graph import optimize_pcg
+
+    graph, _ = _chain_with_loop(rng, n=8, noise=0.02)
+    dense = optimize(graph, iterations=8)
+    pcg = optimize_pcg(graph, iterations=8, cg_iterations=64, damping=1e-6)
+    # Same optimum basin; sub-mm agreement on ~100 mm translations (the two
+    # paths differ in gauge-anchor magnitude and f32 CG truncation).
+    np.testing.assert_allclose(np.asarray(pcg.t), np.asarray(dense.t),
+                               atol=0.5)
+    c_dense = float(graph_cost(dense))
+    c_pcg = float(graph_cost(pcg))
+    assert c_pcg <= c_dense * 1.05
+
+
+def test_pcg_scales_to_large_graph(rng):
+    """A 256-node loop with several closures: PCG must reduce cost sharply
+    without ever materializing the (256*6)^2 dense system."""
+    from icp_tpu.slam.pose_graph import optimize_pcg
+
+    graph, _ = _chain_with_loop(rng, n=256, noise=0.01)
+    c0 = float(graph_cost(graph))
+    out = optimize_pcg(graph, iterations=10, cg_iterations=96)
+    c1 = float(graph_cost(out))
+    assert c1 < c0 * 0.2, (c0, c1)
+    np.testing.assert_allclose(np.asarray(out.t[0]), np.zeros(3), atol=1e-2)
