@@ -193,3 +193,39 @@ def sequence_clouds(seq: TumSequence, **intrinsics):
     """
     for rp, dp in zip(seq.rgb_files, seq.depth_files):
         yield load_cloud(rp, dp, **intrinsics)
+
+
+def evaluate_trajectory(seq: TumSequence, est_q, est_t,
+                        rpe_delta: int = 1, unit_scale: float = 1e-3):
+    """Standard TUM evaluation of an estimated trajectory against the
+    sequence's ground truth: (ATE_m, RPE_trans_m, RPE_rot_deg).
+
+    Both trajectories are re-anchored to their frame 0 (the benchmark's
+    alignment step reduces to this for a shared anchor frame). ``est_q`` /
+    ``est_t`` are (T, 4) / (T, 3) world poses in the registration unit
+    (mm by default — ``unit_scale`` converts to the gt's meters).
+    """
+    import jax.numpy as jnp
+
+    from icp_tpu.slam import se3
+    from icp_tpu.slam.odometry import (
+        absolute_trajectory_error,
+        relative_pose_error,
+    )
+
+    if seq.gt_t is None:
+        raise ValueError("sequence has no ground truth")
+    n = min(len(est_t), len(seq.gt_t))
+
+    def to_rel(qs, ts):
+        p0 = se3.Pose(jnp.asarray(qs[0]), jnp.asarray(ts[0]))
+        return [se3.relative(p0, se3.Pose(jnp.asarray(qs[i]),
+                                          jnp.asarray(ts[i])))
+                for i in range(n)]
+
+    est = to_rel(np.asarray(est_q),
+                 np.asarray(est_t, np.float64) * unit_scale)
+    gt = to_rel(seq.gt_q, seq.gt_t)
+    ate = absolute_trajectory_error(est, gt)
+    rpe_t, rpe_r = relative_pose_error(est, gt, delta=rpe_delta)
+    return ate, rpe_t, rpe_r

@@ -153,3 +153,32 @@ def absolute_trajectory_error(est: list[Pose], gt: list[Pose]) -> float:
     for e, g in zip(est, gt):
         errs.append(np.linalg.norm(np.asarray(e.t) - np.asarray(g.t)))
     return float(np.sqrt(np.mean(np.square(errs))))
+
+
+def relative_pose_error(est: list[Pose], gt: list[Pose],
+                        delta: int = 1) -> tuple[float, float]:
+    """TUM-benchmark RPE (Sturm et al., IROS 2012): drift per ``delta``
+    frames.
+
+    For every i, compare the estimated relative motion over [i, i+delta]
+    with the ground-truth one:
+
+        E_i = (G_i^-1 G_{i+delta})^-1 (X_i^-1 X_{i+delta})
+
+    Returns (RMS translational RPE in the trajectory's length unit, RMS
+    rotational RPE in degrees). Complements ATE: ATE measures global
+    consistency, RPE measures local drift independent of accumulated error.
+    """
+    from icp_tpu.slam import se3
+
+    t_errs, r_errs = [], []
+    for i in range(len(est) - delta):
+        rel_e = se3.relative(est[i], est[i + delta])
+        rel_g = se3.relative(gt[i], gt[i + delta])
+        err = se3.compose(se3.inverse(rel_g), rel_e)
+        t_errs.append(float(np.linalg.norm(np.asarray(err.t))))
+        r_errs.append(float(qangle_deg(err.q)))
+    if not t_errs:
+        raise ValueError("trajectory shorter than delta")
+    return (float(np.sqrt(np.mean(np.square(t_errs)))),
+            float(np.sqrt(np.mean(np.square(r_errs)))))

@@ -99,3 +99,32 @@ def test_odometry_chain_recovers_trajectory(rng):
     assert result.keyframes[0] == 0
     assert len(result.keyframes) >= 2  # max_gap=2 forces keyframes
     assert len(result.poses) == 4
+
+
+def test_relative_pose_error(rng):
+    """RPE on a perfect trajectory is 0; on a trajectory with one bad step
+    it reflects that step's drift (and only over windows crossing it)."""
+    from icp_tpu.slam.odometry import relative_pose_error
+    from icp_tpu.slam import se3
+    import jax.numpy as jnp
+
+    gt = [se3.Pose.identity()]
+    step = se3.Pose(jnp.asarray(np.array([0, 0, 0, 1.0], np.float32)),
+                    jnp.asarray(np.array([10.0, 0, 0], np.float32)))
+    for _ in range(9):
+        gt.append(se3.compose(gt[-1], step))
+
+    t_rpe, r_rpe = relative_pose_error(gt, gt, delta=1)
+    assert t_rpe < 1e-5 and r_rpe < 1e-5
+
+    # Inject 2 mm of extra drift on one step of the estimate.
+    bad = se3.Pose(step.q, step.t + jnp.asarray(np.array([2.0, 0, 0],
+                                                          np.float32)))
+    est = [se3.Pose.identity()]
+    for i in range(9):
+        est.append(se3.compose(est[-1], bad if i == 4 else step))
+    t_rpe, _ = relative_pose_error(est, gt, delta=1)
+    # One of nine windows carries a 2 mm error -> RMS = 2/3.
+    np.testing.assert_allclose(t_rpe, 2.0 / 3.0, rtol=1e-3)
+    t_rpe5, _ = relative_pose_error(est, gt, delta=5)
+    assert t_rpe5 > t_rpe  # all delta=5 windows crossing step 4 see it

@@ -93,3 +93,32 @@ def test_slam_on_tum_sequence(seq_dir):
     gt_mm = seq.gt_t * 1000.0
     err = np.linalg.norm(np.asarray(eng.trajectory[-1].t) - gt_mm[-1])
     assert err < 15.0, err
+
+
+def test_evaluate_trajectory(seq_dir):
+    """ATE/RPE of the SLAM trajectory on the synthetic TUM sequence must be
+    small; a deliberately-drifted copy must score worse."""
+    seq = tum.load_sequence(seq_dir)
+    eng = SlamEngine(ICPParams(alpha=2e2),
+                     ICPConfig(estimate_scale=False),
+                     policy=KeyframePolicy(max_gap=2))
+    for cloud in tum.sequence_clouds(seq, fx=595.0, fy=595.0):
+        eng.process_frame(jnp.asarray(cloud))
+    est_q = np.stack([np.asarray(p.q) for p in eng.trajectory])
+    est_t = np.stack([np.asarray(p.t) for p in eng.trajectory])
+
+    ate, rpe_t, rpe_r = tum.evaluate_trajectory(seq, est_q, est_t)
+    assert ate < 0.02       # meters
+    assert rpe_t < 0.02
+    assert rpe_r < 1.0      # degrees
+
+    drifted = est_t + np.arange(len(est_t))[:, None] * 50.0  # 50 mm/frame
+    ate2, rpe2, _ = tum.evaluate_trajectory(seq, est_q, drifted)
+    assert ate2 > ate and rpe2 > rpe_t
+
+    import pytest
+    with pytest.raises(ValueError):
+        tum.evaluate_trajectory(
+            tum.TumSequence(root=seq.root, rgb_files=[], depth_files=[],
+                            timestamps=[]),
+            est_q, est_t)
