@@ -46,7 +46,7 @@ from icp_tpu.ops.moments import (
 from icp_tpu.ops.sampling import sample_representative_indices
 from icp_tpu.parallel.mesh import DP_AXIS, MP_AXIS
 from icp_tpu.rbc.construct import RBCIndex, rbc_construct
-from icp_tpu.rbc.grouping import group_by_bin
+from icp_tpu.rbc.grouping import group_rows_by_bin
 from icp_tpu.runtime.config import (
     Correspondence,
     ICPConfig,
@@ -118,11 +118,17 @@ def _sharded_rbc_nn(index: RBCIndex, queries: jnp.ndarray, params: ICPParams,
     local_rep = query_rep - rep_offset
     owned = (local_rep >= 0) & (local_rep < n_r_local)
     bin_of_query = jnp.where(owned, local_rep, n_r_local)
-    qlayout = group_by_bin(bin_of_query, n_r_local + 1, query_capacity)
+    # One payload sort groups the queries AND their local ids (exact in f32)
+    # bin-major — no member table, no fancy gather (same trick as the
+    # single-chip path; see rbc.grouping.group_rows_by_bin).
+    ids_col = jnp.arange(m_local, dtype=queries.dtype)[:, None]
+    qlayout = group_rows_by_bin(bin_of_query, n_r_local + 1, query_capacity,
+                                (queries, ids_col))
+    qrows, qids = qlayout.grouped
 
-    qmember = qlayout.member[:n_r_local]  # drop the parking bin
+    qmember = qids[:n_r_local, :, 0].astype(jnp.int32)  # drop the parking bin
     qvalid = qlayout.valid[:n_r_local]
-    qgroups = queries[qmember] - local.reps[:, None, :]
+    qgroups = qrows[:n_r_local] - local.reps[:, None, :]
 
     w8 = metric_weights(params.alpha, queries.dtype)
     qg_w = qgroups * w8

@@ -1,7 +1,13 @@
 """Random-Ball-Cover correspondence engine (reference RBC dependency)."""
 
 from icp_tpu.rbc.construct import RBCIndex, rbc_construct
-from icp_tpu.rbc.grouping import GroupLayout, gather_grouped, group_by_bin
+from icp_tpu.rbc.grouping import (
+    GroupLayout,
+    GroupedRows,
+    gather_grouped,
+    group_by_bin,
+    group_rows_by_bin,
+)
 from icp_tpu.rbc.search import (
     GroupedSearchResult,
     SearchResult,

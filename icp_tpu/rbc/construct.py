@@ -22,7 +22,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from icp_tpu.ops.distance import pairwise_sq_dists
-from icp_tpu.rbc.grouping import GroupLayout, gather_grouped, group_by_bin
+from icp_tpu.rbc.grouping import GroupedRows, group_rows_by_bin
 
 
 class RBCIndex(NamedTuple):
@@ -46,7 +46,7 @@ class RBCIndex(NamedTuple):
     rep_db_ids: jnp.ndarray
     db: jnp.ndarray
     rep_id: jnp.ndarray
-    layout: GroupLayout
+    layout: GroupedRows
     bins: jnp.ndarray
     bin_ids: jnp.ndarray
     bin_mask: jnp.ndarray
@@ -87,8 +87,16 @@ def rbc_construct(db: jnp.ndarray, reps: jnp.ndarray, alpha,
         # when the representative is a database point.
         rep_db_ids = jnp.argmin(d2, axis=0).astype(jnp.int32)
 
-    layout = group_by_bin(rep_id, reps.shape[0], capacity)
-    bins = gather_grouped(layout, db)  # (n_r, capacity, 8), sliced form
+    if normals is None:
+        normals = jnp.zeros((db.shape[0], 3), db.dtype)
+    # One payload sort groups points, their database ids (exact in f32 up
+    # to 2^24), and normals bin-major in a single pass — no member table,
+    # no permute gather (see grouping.group_rows_by_bin).
+    ids_col = jnp.arange(db.shape[0], dtype=db.dtype)[:, None]
+    layout = group_rows_by_bin(rep_id, reps.shape[0], capacity,
+                               (db, ids_col, normals))
+    bins, ids_g, bin_normals = layout.grouped
+    bin_ids = ids_g[..., 0].astype(jnp.int32)
 
     # Search-time invariants, hoisted out of the per-iteration search:
     # per-bin-centered bins (f32-safe quadratic expansion) and the masked
@@ -106,10 +114,6 @@ def rbc_construct(db: jnp.ndarray, reps: jnp.ndarray, alpha,
     nonzero_db = jnp.sum(jnp.abs(bins[..., :3]), axis=-1) > 0
     sq_b_masked = jnp.where(layout.valid & nonzero_db, sq_b, jnp.inf)
 
-    if normals is None:
-        normals = jnp.zeros((db.shape[0], 3), db.dtype)
-    bin_normals = gather_grouped(layout, normals)
-
     return RBCIndex(
         reps=reps,
         rep_db_ids=rep_db_ids,
@@ -117,7 +121,7 @@ def rbc_construct(db: jnp.ndarray, reps: jnp.ndarray, alpha,
         rep_id=rep_id,
         layout=layout,
         bins=bins,
-        bin_ids=layout.member,
+        bin_ids=bin_ids,
         bin_mask=layout.valid,
         bins_centered=bins_centered,
         sq_b_masked=sq_b_masked,

@@ -81,6 +81,81 @@ def group_by_bin(bin_ids: jnp.ndarray, n_bins: int, capacity: int) -> GroupLayou
     return GroupLayout(order, counts, offsets, member, valid)
 
 
+class GroupedRows(NamedTuple):
+    """Lightweight result of :func:`group_rows_by_bin` — the hot-path
+    variant that never materializes the member table.
+
+    Attributes:
+      counts: (n_bins,) points per bin.
+      offsets: (n_bins,) exclusive prefix of counts.
+      valid: (n_bins, capacity) slot validity.
+      grouped: tuple of (n_bins, capacity, d_i) arrays, one per input rows
+        array, in bin-major order (padded slots undefined).
+    """
+
+    counts: jnp.ndarray
+    offsets: jnp.ndarray
+    valid: jnp.ndarray
+    grouped: tuple
+
+
+def group_rows_by_bin(bin_ids: jnp.ndarray, n_bins: int, capacity: int,
+                      rows_list: tuple) -> GroupedRows:
+    """Group row data into fixed-capacity bins WITHOUT the member table.
+
+    ``group_by_bin`` + ``gather_grouped`` costs ~0.25 ms/iteration at the
+    flagship shape on a v5e — almost all of it the member-table build
+    (vmapped dynamic slices over a 1-D int array lower pathologically) and
+    the rows[order] permute gather. Sorting the ROW COLUMNS directly as
+    lax.sort payloads is ~20x cheaper (~0.011 ms measured,
+    benchmarks/profile_grouping2.py): one variadic stable sort moves the
+    data into bin-major order with no gather at all, and the (n_bins,
+    capacity, d) tables are cheap 2-D dynamic slices of the sorted rows.
+
+    Args:
+      bin_ids: (n,) int32 bin assignment per point.
+      n_bins, capacity: static.
+      rows_list: tuple of (n, d_i) float arrays to group (d_i may be 0 —
+        such arrays pass through as empty (n_bins, capacity, 0)).
+    """
+    n = bin_ids.shape[0]
+    # Columns of every rows array ride the sort as payloads.
+    cols, spans = [], []
+    for rows in rows_list:
+        d = rows.shape[1]
+        spans.append(d)
+        for j in range(d):
+            cols.append(rows[:, j])
+    out = jax.lax.sort((bin_ids,) + tuple(cols), num_keys=1,
+                       is_stable=True)
+    sorted_cols = out[1:]
+
+    counts = jnp.sum(
+        (bin_ids[None, :] == jnp.arange(n_bins, dtype=bin_ids.dtype)[:, None])
+        .astype(jnp.int32),
+        axis=1,
+    )
+    cum = jnp.cumsum(counts)
+    offsets = (cum - counts).astype(jnp.int32)
+    valid = jnp.arange(capacity, dtype=jnp.int32)[None, :] < counts[:, None]
+
+    grouped = []
+    k = 0
+    for rows, d in zip(rows_list, spans):
+        if d == 0:
+            grouped.append(jnp.zeros((n_bins, capacity, 0), rows.dtype))
+            continue
+        sorted_rows = jnp.stack(sorted_cols[k:k + d], axis=-1)
+        k += d
+        pad = jnp.zeros((capacity, d), rows.dtype)
+        padded = jnp.concatenate([sorted_rows, pad], axis=0)
+        grouped.append(jax.vmap(
+            lambda off, p=padded, dd=d: jax.lax.dynamic_slice(
+                p, (off, 0), (capacity, dd))
+        )(offsets))
+    return GroupedRows(counts, offsets, valid, tuple(grouped))
+
+
 def gather_grouped(layout: GroupLayout, rows: jnp.ndarray) -> jnp.ndarray:
     """Gather ``rows[member]`` efficiently: permute rows once (a row gather)
     then take each bin's contiguous run as a vmapped dynamic slice — the

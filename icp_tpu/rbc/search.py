@@ -28,7 +28,11 @@ import jax.numpy as jnp
 
 from icp_tpu.ops.distance import metric_weights, pairwise_sq_dists
 from icp_tpu.rbc.construct import RBCIndex
-from icp_tpu.rbc.grouping import gather_grouped, group_by_bin
+from icp_tpu.rbc.grouping import (
+    gather_grouped,
+    group_by_bin,
+    group_rows_by_bin,
+)
 
 
 class GroupedSearchResult(NamedTuple):
@@ -81,11 +85,14 @@ def rbc_search_grouped(index: RBCIndex, queries: jnp.ndarray, alpha,
     d2_qr = pairwise_sq_dists(queries, index.reps, alpha)
     query_rep = jnp.argmin(d2_qr, axis=1).astype(jnp.int32)
 
-    qlayout = group_by_bin(query_rep, n_r, query_capacity)
-    queries_g = gather_grouped(qlayout, queries)  # (n_r, cq, 8), sliced form
-    extra_g = (gather_grouped(qlayout, extra_rows)
-               if extra_rows is not None
-               else jnp.zeros(queries_g.shape[:2] + (0,), queries.dtype))
+    # One payload sort groups queries (and any side rows) bin-major with no
+    # member table / gather (see grouping.group_rows_by_bin).
+    if extra_rows is None:
+        extra_rows = jnp.zeros((queries.shape[0], 0), queries.dtype)
+    glayout = group_rows_by_bin(query_rep, n_r, query_capacity,
+                                (queries, extra_rows))
+    queries_g, extra_g = glayout.grouped  # (n_r, cq, 8), (n_r, cq, k)
+    qlayout = glayout
     qc = queries_g - index.reps[:, None, :]  # per-bin centering
 
     w8 = metric_weights(alpha, queries.dtype)
@@ -182,8 +189,8 @@ def rbc_search_moments(index: RBCIndex, queries: jnp.ndarray, alpha,
     d2_qr = pairwise_sq_dists(queries, index.reps, alpha)
     query_rep = jnp.argmin(d2_qr, axis=1).astype(jnp.int32)
 
-    qlayout = group_by_bin(query_rep, n_r, query_capacity)
-    queries_g = gather_grouped(qlayout, queries)
+    qlayout = group_rows_by_bin(query_rep, n_r, query_capacity, (queries,))
+    (queries_g,) = qlayout.grouped
     qc = queries_g - index.reps[:, None, :]
 
     w8 = metric_weights(alpha, queries.dtype)
