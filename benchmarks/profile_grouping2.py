@@ -111,5 +111,157 @@ def main():
           carry0)
 
 
+def main2():
+    """Round 2: loop-VARYING rows (the production regime — rows are the
+    transformed queries, recomputed every iteration)."""
+    from icp_tpu.rbc.grouping import group_rows_by_bin
+
+    m, n_bins, cap = 16384, 256, 128
+    rng = np.random.default_rng(0)
+    ids0 = jnp.asarray(rng.integers(0, n_bins, m, dtype=np.int32))
+    rows0 = jnp.asarray(rng.normal(size=(m, 8)).astype(np.float32))
+    carry0 = (ids0, rows0)
+
+    def touch(ids, rows, x):
+        # Make BOTH ids and rows depend on the previous iteration.
+        return ((ids + x.astype(jnp.int32)) % n_bins,
+                rows + (x * 1e-20).astype(rows.dtype))
+
+    def v_payload_sort():
+        def body(i, c):
+            ids, rows = c
+            g = group_rows_by_bin(ids, n_bins, cap, (rows,))
+            return touch(ids, rows, g.grouped[0][0, 0, 0])
+        return body
+
+    def v_composite_key():
+        def body(i, c):
+            ids, rows = c
+            iota = jnp.arange(m, dtype=jnp.int32)
+            key = ids * jnp.int32(m) + iota
+            skey = jax.lax.sort(key)
+            sidx = skey - (skey // m) * m
+            sorted_rows = jnp.take(rows, sidx, axis=0)
+            counts = jnp.sum(
+                (ids[None, :] == jnp.arange(n_bins, dtype=ids.dtype)[:, None])
+                .astype(jnp.int32), axis=1)
+            offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+            pad = jnp.zeros((cap, 8), rows.dtype)
+            padded = jnp.concatenate([sorted_rows, pad], axis=0)
+            grouped = jax.vmap(
+                lambda off: jax.lax.dynamic_slice(padded, (off, 0), (cap, 8))
+            )(offsets)
+            return touch(ids, rows, grouped[0, 0, 0] + counts[0])
+        return body
+
+    def v_old_member_path():
+        from icp_tpu.rbc.grouping import group_by_bin, gather_grouped
+
+        def body(i, c):
+            ids, rows = c
+            g = group_by_bin(ids, n_bins, cap)
+            qg = gather_grouped(g, rows)
+            return touch(ids, rows, qg[0, 0, 0])
+        return body
+
+    def v_composite_key_no_slices():
+        # isolate: sort + take only
+        def body(i, c):
+            ids, rows = c
+            iota = jnp.arange(m, dtype=jnp.int32)
+            key = ids * jnp.int32(m) + iota
+            skey = jax.lax.sort(key)
+            sidx = skey - (skey // m) * m
+            sorted_rows = jnp.take(rows, sidx, axis=0)
+            return touch(ids, rows, sorted_rows[0, 0])
+        return body
+
+    timed("VARY payload sort (current prod)", v_payload_sort, carry0)
+    timed("VARY composite-key sort + take + slices", v_composite_key, carry0)
+    timed("VARY composite-key sort + take only", v_composite_key_no_slices,
+          carry0)
+    timed("VARY old member-table path", v_old_member_path, carry0)
+
+
+
+
+def main3():
+    """Round 3: split counts vs table build; arithmetic row-gather table."""
+    m, n_bins, cap = 16384, 256, 128
+    rng = np.random.default_rng(0)
+    ids0 = jnp.asarray(rng.integers(0, n_bins, m, dtype=np.int32))
+    rows0 = jnp.asarray(rng.normal(size=(m, 8)).astype(np.float32))
+    carry0 = (ids0, rows0)
+
+    def touch(ids, rows, x):
+        return ((ids + x.astype(jnp.int32)) % n_bins,
+                rows + (x * 1e-20).astype(rows.dtype))
+
+    def sort_take(ids, rows):
+        iota = jnp.arange(m, dtype=jnp.int32)
+        key = ids * jnp.int32(m) + iota
+        skey = jax.lax.sort(key)
+        sidx = skey - (skey // m) * m
+        return jnp.take(rows, sidx, axis=0)
+
+    def counts_offsets(ids):
+        counts = jnp.sum(
+            (ids[None, :] == jnp.arange(n_bins, dtype=ids.dtype)[:, None])
+            .astype(jnp.int32), axis=1)
+        offsets = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+        return counts, offsets
+
+    def v_sort_take_counts():
+        def body(i, c):
+            ids, rows = c
+            s = sort_take(ids, rows)
+            counts, offsets = counts_offsets(ids)
+            return touch(ids, rows, s[0, 0] + counts[0] + offsets[0])
+        return body
+
+    def v_rowgather_table():
+        def body(i, c):
+            ids, rows = c
+            s = sort_take(ids, rows)
+            counts, offsets = counts_offsets(ids)
+            pad = jnp.zeros((cap, 8), rows.dtype)
+            padded = jnp.concatenate([s, pad], axis=0)
+            flat_pos = (offsets[:, None]
+                        + jnp.arange(cap, dtype=jnp.int32)[None, :])
+            flat_pos = jnp.minimum(flat_pos, m + cap - 1)
+            grouped = jnp.take(padded, flat_pos.reshape(-1), axis=0)
+            grouped = grouped.reshape(n_bins, cap, 8)
+            return touch(ids, rows, grouped[0, 0, 0] + counts[0])
+        return body
+
+    def v_onestep_rowgather():
+        # skip the take: compose the two row gathers into one
+        def body(i, c):
+            ids, rows = c
+            iota = jnp.arange(m, dtype=jnp.int32)
+            key = ids * jnp.int32(m) + iota
+            skey = jax.lax.sort(key)
+            sidx = skey - (skey // m) * m          # (m,) original index, bin-major
+            counts, offsets = counts_offsets(ids)
+            flat_pos = (offsets[:, None]
+                        + jnp.arange(cap, dtype=jnp.int32)[None, :])
+            flat_pos = jnp.minimum(flat_pos, m - 1)
+            member = jnp.take(sidx, flat_pos.reshape(-1))  # 1-D gather (32k)
+            grouped = jnp.take(rows, member, axis=0).reshape(n_bins, cap, 8)
+            return touch(ids, rows, grouped[0, 0, 0] + counts[0])
+        return body
+
+    timed("VARY sort+take+counts (no table)", v_sort_take_counts, carry0)
+    timed("VARY row-gather table", v_rowgather_table, carry0)
+    timed("VARY one-step (1-D member gather) table", v_onestep_rowgather,
+          carry0)
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--vary3" in sys.argv:
+        main3()
+    elif "--vary" in sys.argv:
+        main2()
+    else:
+        main()

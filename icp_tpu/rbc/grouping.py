@@ -103,14 +103,24 @@ def group_rows_by_bin(bin_ids: jnp.ndarray, n_bins: int, capacity: int,
                       rows_list: tuple) -> GroupedRows:
     """Group row data into fixed-capacity bins WITHOUT the member table.
 
-    ``group_by_bin`` + ``gather_grouped`` costs ~0.25 ms/iteration at the
-    flagship shape on a v5e — almost all of it the member-table build
-    (vmapped dynamic slices over a 1-D int array lower pathologically) and
-    the rows[order] permute gather. Sorting the ROW COLUMNS directly as
-    lax.sort payloads is ~20x cheaper (~0.011 ms measured,
-    benchmarks/profile_grouping2.py): one variadic stable sort moves the
-    data into bin-major order with no gather at all, and the (n_bins,
-    capacity, d) tables are cheap 2-D dynamic slices of the sorted rows.
+    The original ``group_by_bin`` + ``gather_grouped`` chain costs
+    ~0.25 ms/iteration at the flagship shape on a v5e — the member-table
+    build (vmapped dynamic slices over a 1-D int array) and the permute
+    gather both lower pathologically. This version (all numbers honest —
+    benchmarks/profile_grouping2.py, host-read + marginal differencing):
+
+      1. ONE single-array sort of the composite key bin*n + i gives the
+         bin-major stable order (~0.01 ms; the index rides in the low bits
+         so no payload columns are needed),
+      2. one ROW gather moves all row data into bin-major order
+         (~0.03 ms for (16k, 8) — row gathers with >=8 lanes are fine;
+         1-D/1-lane gathers are the pathological case),
+      3. the (n_bins, capacity, d) padded tables are one more row gather
+         at arithmetic positions offsets[b] + c — no dynamic slices.
+
+    Total ~0.11 ms vs ~0.25 ms. Slots past a bin's count read the next
+    bin's rows — garbage, masked by ``valid`` (same contract as the
+    dynamic-slice form).
 
     Args:
       bin_ids: (n,) int32 bin assignment per point.
@@ -119,16 +129,15 @@ def group_rows_by_bin(bin_ids: jnp.ndarray, n_bins: int, capacity: int,
         such arrays pass through as empty (n_bins, capacity, 0)).
     """
     n = bin_ids.shape[0]
-    # Columns of every rows array ride the sort as payloads.
-    cols, spans = [], []
-    for rows in rows_list:
-        d = rows.shape[1]
-        spans.append(d)
-        for j in range(d):
-            cols.append(rows[:, j])
-    out = jax.lax.sort((bin_ids,) + tuple(cols), num_keys=1,
-                       is_stable=True)
-    sorted_cols = out[1:]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    if n_bins * n < 2 ** 31:
+        # Composite key: bin id in the high bits, original index in the
+        # low bits — one single-array sort, stability for free.
+        key = bin_ids * jnp.int32(n) + iota
+        skey = jax.lax.sort(key)
+        sidx = skey - (skey // n) * n
+    else:
+        _, sidx = jax.lax.sort((bin_ids, iota), num_keys=1, is_stable=True)
 
     counts = jnp.sum(
         (bin_ids[None, :] == jnp.arange(n_bins, dtype=bin_ids.dtype)[:, None])
@@ -139,20 +148,29 @@ def group_rows_by_bin(bin_ids: jnp.ndarray, n_bins: int, capacity: int,
     offsets = (cum - counts).astype(jnp.int32)
     valid = jnp.arange(capacity, dtype=jnp.int32)[None, :] < counts[:, None]
 
+    # Single concat -> one sorted permute -> one table gather for ALL row
+    # data, then split back per input array.
+    spans = [rows.shape[1] for rows in rows_list]
+    nonempty = [rows for rows in rows_list if rows.shape[1] > 0]
+    flat_pos = (offsets[:, None]
+                + jnp.arange(capacity, dtype=jnp.int32)[None, :])
+    if nonempty:
+        big = (nonempty[0] if len(nonempty) == 1
+               else jnp.concatenate(nonempty, axis=1))
+        d_total = big.shape[1]
+        sorted_big = jnp.take(big, sidx, axis=0)
+        padded = jnp.concatenate(
+            [sorted_big, jnp.zeros((capacity, d_total), big.dtype)], axis=0)
+        table = jnp.take(padded, flat_pos.reshape(-1), axis=0).reshape(
+            n_bins, capacity, d_total)
     grouped = []
     k = 0
     for rows, d in zip(rows_list, spans):
         if d == 0:
             grouped.append(jnp.zeros((n_bins, capacity, 0), rows.dtype))
-            continue
-        sorted_rows = jnp.stack(sorted_cols[k:k + d], axis=-1)
-        k += d
-        pad = jnp.zeros((capacity, d), rows.dtype)
-        padded = jnp.concatenate([sorted_rows, pad], axis=0)
-        grouped.append(jax.vmap(
-            lambda off, p=padded, dd=d: jax.lax.dynamic_slice(
-                p, (off, 0), (capacity, dd))
-        )(offsets))
+        else:
+            grouped.append(table[..., k:k + d])
+            k += d
     return GroupedRows(counts, offsets, valid, tuple(grouped))
 
 
