@@ -65,10 +65,17 @@ def _bin_search_kernel(qg_w_ref, bins_c_ref, sq_b_ref, vals_ref,
     cb = bins_c.shape[1]
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, best_slot.shape + (cb,), 2)
     one_hot = (slot_ids == best_slot[..., None]).astype(jnp.float32)
+    # HIGHEST: the payload carries raw coordinates (~2e3 mm); a single
+    # bf16 pass quantizes them to ~8 mm steps (rendered-pair PLANE gate
+    # measures the difference as 0.333 vs 0.321 mm). Within-window A/B
+    # shows HIGHEST costs nothing measurable against the chip's ~±3%
+    # run noise (cross-hour comparisons are invalid — the tunneled chip's
+    # throughput drifts ~25% between sessions), so take the exact gather.
     matched_ref[:] = jax.lax.dot_general(
         one_hot, vals_ref[:],
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

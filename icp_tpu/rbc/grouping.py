@@ -99,6 +99,32 @@ class GroupedRows(NamedTuple):
     grouped: tuple
 
 
+def bin_sort_layout(bin_ids: jnp.ndarray, n_bins: int, capacity: int):
+    """Bin-major stable sort layout: (sidx (n,) original index in bin-major
+    order, counts (n_bins,), offsets (n_bins,), valid (n_bins, capacity)).
+
+    One single-array sort of the composite key bin*n + i (index in the low
+    bits makes the sort stable for free); counts via an equality reduce."""
+    n = bin_ids.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    if n_bins * n < 2 ** 31:
+        key = bin_ids * jnp.int32(n) + iota
+        skey = jax.lax.sort(key)
+        sidx = skey - (skey // n) * n
+    else:
+        _, sidx = jax.lax.sort((bin_ids, iota), num_keys=1, is_stable=True)
+
+    counts = jnp.sum(
+        (bin_ids[None, :] == jnp.arange(n_bins, dtype=bin_ids.dtype)[:, None])
+        .astype(jnp.int32),
+        axis=1,
+    )
+    cum = jnp.cumsum(counts)
+    offsets = (cum - counts).astype(jnp.int32)
+    valid = jnp.arange(capacity, dtype=jnp.int32)[None, :] < counts[:, None]
+    return sidx, counts, offsets, valid
+
+
 def group_rows_by_bin(bin_ids: jnp.ndarray, n_bins: int, capacity: int,
                       rows_list: tuple) -> GroupedRows:
     """Group row data into fixed-capacity bins WITHOUT the member table.
@@ -129,24 +155,7 @@ def group_rows_by_bin(bin_ids: jnp.ndarray, n_bins: int, capacity: int,
         such arrays pass through as empty (n_bins, capacity, 0)).
     """
     n = bin_ids.shape[0]
-    iota = jnp.arange(n, dtype=jnp.int32)
-    if n_bins * n < 2 ** 31:
-        # Composite key: bin id in the high bits, original index in the
-        # low bits — one single-array sort, stability for free.
-        key = bin_ids * jnp.int32(n) + iota
-        skey = jax.lax.sort(key)
-        sidx = skey - (skey // n) * n
-    else:
-        _, sidx = jax.lax.sort((bin_ids, iota), num_keys=1, is_stable=True)
-
-    counts = jnp.sum(
-        (bin_ids[None, :] == jnp.arange(n_bins, dtype=bin_ids.dtype)[:, None])
-        .astype(jnp.int32),
-        axis=1,
-    )
-    cum = jnp.cumsum(counts)
-    offsets = (cum - counts).astype(jnp.int32)
-    valid = jnp.arange(capacity, dtype=jnp.int32)[None, :] < counts[:, None]
+    sidx, counts, offsets, valid = bin_sort_layout(bin_ids, n_bins, capacity)
 
     # Single concat -> one sorted permute -> one table gather for ALL row
     # data, then split back per input array.

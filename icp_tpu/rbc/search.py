@@ -85,10 +85,11 @@ def rbc_search_grouped(index: RBCIndex, queries: jnp.ndarray, alpha,
     d2_qr = pairwise_sq_dists(queries, index.reps, alpha)
     query_rep = jnp.argmin(d2_qr, axis=1).astype(jnp.int32)
 
-    # One payload sort groups queries (and any side rows) bin-major with no
-    # member table / gather (see grouping.group_rows_by_bin).
     if extra_rows is None:
         extra_rows = jnp.zeros((queries.shape[0], 0), queries.dtype)
+
+    # One payload sort groups queries (and any side rows) bin-major with no
+    # member table / gather (see grouping.group_rows_by_bin).
     glayout = group_rows_by_bin(query_rep, n_r, query_capacity,
                                 (queries, extra_rows))
     queries_g, extra_g = glayout.grouped  # (n_r, cq, 8), (n_r, cq, k)

@@ -62,3 +62,4 @@ def test_bin_search_kernel_direct(rng):
             assert abs(float(score[r, qi]) - s[j]) < 1e-2 * max(1, abs(s[j]))
             np.testing.assert_allclose(np.asarray(matched[r, qi]), bins[r, j],
                                        atol=1e-4)
+
