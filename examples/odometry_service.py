@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--backend", choices=("npz", "orbax"), default="npz")
     ap.add_argument("--fail-at", type=int, default=-1,
                     help="inject a crash after this frame (demo resume)")
+    ap.add_argument("--data-dir", default=None,
+                    help="stream recorded .bin clouds (via the native "
+                         "prefetching FrameSource) instead of rendering; "
+                         "no ground truth -> no ATE/RPE report")
     args = ap.parse_args()
     os.makedirs(args.state_dir, exist_ok=True)
 
@@ -95,10 +99,28 @@ def main():
         print("nothing to do (trajectory already complete)")
         start = len(eng.trajectory)
 
+    source = None
+    if args.data_dir is not None:
+        from icp_tpu.sensors.stream import FrameSource
+
+        source = FrameSource(args.data_dir)
+        args.frames = min(args.frames, len(source))
+        # Fast-forward the prefetch stream past already-processed frames.
+        for _ in range(start):
+            source.next_frame()
+
     sink = MetricsSink("odometry-service")
     for i in range(start, args.frames):
-        cloud = jax.block_until_ready(
-            synthetic.render_cloud(scene, poses_gt[i]))
+        if source is not None:
+            item = source.next_frame()
+            if item is None:
+                break
+            import jax.numpy as jnp
+
+            cloud = jnp.asarray(item[1])
+        else:
+            cloud = jax.block_until_ready(
+                synthetic.render_cloud(scene, poses_gt[i]))
         with CPUTimer() as t:
             # The whole frame dispatch is pure given (engine state, cloud),
             # so bounded retries around it are safe.
@@ -116,13 +138,20 @@ def main():
             sink.log("checkpoint_frames", i + 1)
             print(f"  checkpoint -> {saved}")
 
-    gt = [se3.Pose(p.q, p.t) for p in poses_gt]
-    n = min(len(eng.trajectory), len(gt))
-    ate = absolute_trajectory_error(eng.trajectory[:n], gt[:n])
-    rpe_t, rpe_r = relative_pose_error(eng.trajectory[:n], gt[:n])
-    print(f"\nATE: {ate:.2f} mm   RPE: {rpe_t:.2f} mm / {rpe_r:.4f} deg"
-          f"   keyframes: {len(eng.map.keyframes)}"
-          f"   loop closures: {len(eng.map.loop_closures)}")
+    if source is not None:
+        source.close()
+        print(f"\nframes: {len(eng.trajectory)}"
+              f"   keyframes: {len(eng.map.keyframes)}"
+              f"   loop closures: {len(eng.map.loop_closures)}"
+              f"   (recorded data: no ground truth)")
+    else:
+        gt = [se3.Pose(p.q, p.t) for p in poses_gt]
+        n = min(len(eng.trajectory), len(gt))
+        ate = absolute_trajectory_error(eng.trajectory[:n], gt[:n])
+        rpe_t, rpe_r = relative_pose_error(eng.trajectory[:n], gt[:n])
+        print(f"\nATE: {ate:.2f} mm   RPE: {rpe_t:.2f} mm / {rpe_r:.4f} deg"
+              f"   keyframes: {len(eng.map.keyframes)}"
+              f"   loop closures: {len(eng.map.loop_closures)}")
     if len(eng.map.keyframes) >= 2:
         eng.optimize_map()
         print("pose graph refined")

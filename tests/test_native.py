@@ -115,3 +115,50 @@ def test_native_solve_matches_jax(lib, rng):
     np.testing.assert_allclose(Tk[:4], np.asarray(qk), atol=2e-4)
     np.testing.assert_allclose(Tk[4:7], np.asarray(tk), atol=2e-2)
     assert Tk[7] == 1.0
+
+
+def test_frame_source_stream(tmp_path, rng):
+    """Native prefetching frame source (and its numpy fallback) must
+    stream a .bin sequence in sorted order with exact contents."""
+    from icp_tpu.sensors.stream import FrameSource
+
+    n = 256
+    frames = []
+    for i in range(5):
+        cloud = rng.normal(size=(n, 8)).astype(np.float32)
+        cloud.tofile(tmp_path / f"frame_{i:04d}.bin")
+        frames.append(cloud)
+    # A short (truncated) file must be zero-padded, not crash.
+    frames[3][: n // 2].tofile(tmp_path / "frame_0003.bin")
+
+    with FrameSource(str(tmp_path), n_points=n, ring=2) as src:
+        assert len(src) == 5
+        got = list(src)
+    assert [i for i, _ in got] == [0, 1, 2, 3, 4]
+    for (i, cloud), want in zip(got, frames):
+        if i == 3:
+            np.testing.assert_array_equal(cloud[: n // 2], want[: n // 2])
+            assert np.all(cloud[n // 2:] == 0)
+        else:
+            np.testing.assert_array_equal(cloud, want)
+
+    # Early close while the prefetch thread may still hold frames.
+    src2 = FrameSource(str(tmp_path), n_points=n, ring=1)
+    src2.next_frame()
+    src2.close()
+
+
+def test_frame_source_fallback(tmp_path, rng, monkeypatch):
+    """Numpy fallback path (no native library) must stream identically."""
+    from icp_tpu.runtime import native as _native
+    from icp_tpu.sensors.stream import FrameSource
+
+    n = 64
+    want = rng.normal(size=(n, 8)).astype(np.float32)
+    want.tofile(tmp_path / "only.bin")
+    monkeypatch.setattr(_native, "load", lambda: None)
+    with FrameSource(str(tmp_path), n_points=n) as src:
+        assert src._handle is None  # really the fallback
+        (idx, cloud), = list(src)
+    assert idx == 0
+    np.testing.assert_array_equal(cloud, want)
