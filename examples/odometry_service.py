@@ -62,7 +62,7 @@ def main():
     import jax
 
     from icp_tpu import ICPConfig, ICPParams
-    from icp_tpu.parallel.resilience import device_healthy, with_retries
+    from icp_tpu.parallel.resilience import device_healthy
     from icp_tpu.runtime.metrics import MetricsSink
     from icp_tpu.runtime.timing import CPUTimer
     from icp_tpu.sensors import synthetic
@@ -88,11 +88,13 @@ def main():
     snap = latest_snapshot(args.state_dir, args.backend)
     if snap is not None:
         eng = load_session(snap, backend=args.backend)
+        eng.dispatch_retries = 3
         start = len(eng.trajectory)
         print(f"resumed from {snap}: {start} frames, "
               f"{len(eng.map.keyframes)} keyframes")
     else:
-        eng = SlamEngine(params, config, policy=KeyframePolicy(max_gap=3))
+        eng = SlamEngine(params, config, policy=KeyframePolicy(max_gap=3),
+                         dispatch_retries=3)
         start = 0
         print("fresh session")
     if start >= args.frames:
@@ -122,9 +124,11 @@ def main():
             cloud = jax.block_until_ready(
                 synthetic.render_cloud(scene, poses_gt[i]))
         with CPUTimer() as t:
-            # The whole frame dispatch is pure given (engine state, cloud),
-            # so bounded retries around it are safe.
-            pose = with_retries(eng.process_frame, cloud, retries=3)
+            # Retries live INSIDE the engine (dispatch_retries=3), wrapping
+            # only the pure registration dispatches — retrying process_frame
+            # itself would duplicate its state mutations (trajectory append,
+            # keyframe promotion) on a transient mid-frame failure.
+            pose = eng.process_frame(cloud)
         sink.log("frame_ms", t.span_ms, frame=i)
         print(f"frame {i:3d}: {t.span_ms:7.1f} ms  t = {np.asarray(pose.t)}")
 

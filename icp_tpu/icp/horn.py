@@ -162,12 +162,26 @@ def solve_step_transform(S11: jnp.ndarray, mean_f: jnp.ndarray,
     Returns:
       (qk (4,), tk (3,), sk scalar).
     """
+    # Degenerate-frame guard (sensor dropout: every pair masked out). All
+    # moments are then exactly 0: sqrt(0/0) and the power method's
+    # M/max|M| both produce NaN and permanently poison the accumulated
+    # state (the centroid path already guards its 0/0 — this is the solve
+    # side of the same contract). Identity q / unit s is the no-information
+    # answer.
+    degenerate = jnp.max(jnp.abs(S11)) <= 0.0
     if estimate_scale:
-        sk = jnp.sqrt(S11[9] / S11[10])
+        safe_den = jnp.where(S11[10] > 0, S11[10], 1.0)
+        sk = jnp.where(S11[10] > 0, jnp.sqrt(S11[9] / safe_den),
+                       jnp.ones((), S11.dtype))
     else:
         sk = jnp.ones((), S11.dtype)
     if mode is None:
         mode = "power" if use_power else "svd"
-    qk = _ROTATION_SOLVERS[mode](S11[:9])
+    # Feed the solver an identity cross-covariance when degenerate so no
+    # NaN is ever produced (a select alone would still evaluate the NaN
+    # branch; eigensolves on NaN input are undefined).
+    eye9 = jnp.eye(3, dtype=S11.dtype).reshape(9)
+    S9_safe = jnp.where(degenerate, eye9, S11[:9])
+    qk = _ROTATION_SOLVERS[mode](S9_safe)
     tk = mean_f - sk * qrotate(qk, mean_m)
     return qk, tk, sk

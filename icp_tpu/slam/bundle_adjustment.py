@@ -138,10 +138,47 @@ def _schur_system(problem: BAProblem, r0, A, B, w, max_degree: int,
     return S, rhs, Hll_inv, bp, C, g
 
 
-@partial(jax.jit, static_argnames=("iterations", "max_degree", "fix_first"))
+def check_max_degree(obs_point, n_points: int, max_degree: int) -> int:
+    """Validate that no landmark exceeds the fixed-degree capacity.
+
+    The Schur cross terms and back-substitution group observations by
+    landmark with a fixed ``max_degree`` capacity (group_by_bin); overflow
+    observations would be SILENTLY dropped from those terms while Hll/Hcc
+    keep them, biasing the reduced system. Raises ValueError on overflow;
+    returns the actual max degree. Call with concrete (host) arrays —
+    sharded callers should validate each shard's slice before dispatch.
+    """
+    import numpy as np
+
+    counts = np.bincount(np.asarray(obs_point), minlength=n_points)
+    actual = int(counts.max()) if counts.size else 0
+    if actual > max_degree:
+        raise ValueError(
+            f"landmark observation degree {actual} exceeds max_degree="
+            f"{max_degree}: excess observations would be silently dropped "
+            f"from the Schur cross terms — raise max_degree to >= {actual}")
+    return actual
+
+
 def ba_solve(problem: BAProblem, iterations: int = 5, max_degree: int = 8,
              damping: float = 1e-4, fix_first: bool = True) -> BAProblem:
-    """Gauss-Newton BA with Schur elimination (single device)."""
+    """Gauss-Newton BA with Schur elimination (single device).
+
+    Validates the fixed-degree capacity on concrete inputs (traced inputs —
+    e.g. under an outer jit — skip the check; use :func:`check_max_degree`
+    yourself in that case)."""
+    try:
+        check_max_degree(problem.obs_point, problem.points.shape[0],
+                         max_degree)
+    except jax.errors.TracerArrayConversionError:
+        pass
+    return _ba_solve(problem, iterations=iterations, max_degree=max_degree,
+                     damping=damping, fix_first=fix_first)
+
+
+@partial(jax.jit, static_argnames=("iterations", "max_degree", "fix_first"))
+def _ba_solve(problem: BAProblem, iterations: int = 5, max_degree: int = 8,
+              damping: float = 1e-4, fix_first: bool = True) -> BAProblem:
     n = problem.pose_q.shape[0]
 
     def gn(carry, _):
@@ -196,6 +233,11 @@ def make_sharded_ba(mesh, n_cams: int, iterations: int = 5,
 
     Returns ``run(problem_local) -> problem_local`` to be called on
     dp-sharded ``BAProblem`` pytrees under ``jit`` (in_specs via shard_map).
+
+    Capacity contract: validate each shard's slice with
+    :func:`check_max_degree` before dispatch — overflow observations are
+    silently dropped from the Schur cross terms (inputs here are traced, so
+    the solver cannot check for you).
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P

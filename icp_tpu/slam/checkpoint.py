@@ -14,6 +14,8 @@ pose-graph edges/measurements/weights, loop closures.
 
 from __future__ import annotations
 
+import dataclasses
+import enum
 import json
 import os
 from typing import Optional
@@ -61,8 +63,50 @@ def _payload(engine: SlamEngine) -> dict:
             "m": engine.config.m,
             "n_r": engine.config.n_r,
             "gap_since_kf": engine._gap_since_kf,
+            # Full algorithm configuration: a resumed session must run the
+            # SAME algorithm that produced the snapshot, not defaults.
+            "config": _config_dict(engine.config),
+            "params": {
+                "alpha": float(engine.params.alpha),
+                "c": float(engine.params.c),
+                "angle_threshold_deg": float(
+                    engine.params.angle_threshold_deg),
+                "translation_threshold": float(
+                    engine.params.translation_threshold),
+                "gicp_epsilon": float(engine.params.gicp_epsilon),
+            },
+            "policy": dataclasses.asdict(engine.policy),
+            "loop_config": dataclasses.asdict(engine.loop_config),
+            "use_pyramid": engine.use_pyramid,
+            "pyramid_strides": list(engine.pyramid_strides),
         }).encode(), dtype=np.uint8),
     }
+
+
+def _config_dict(config) -> dict:
+    """ICPConfig -> JSON-safe dict (enums by value)."""
+    out = {}
+    for f in dataclasses.fields(config):
+        v = getattr(config, f.name)
+        out[f.name] = v.value if isinstance(v, enum.Enum) else v
+    return out
+
+
+def _config_from_dict(d: dict):
+    """Inverse of :func:`_config_dict`."""
+    from icp_tpu.runtime.config import (
+        Correspondence, ICPConfig, Objective, RotationMode, Weighting,
+    )
+
+    enums = {"rotation": RotationMode, "weighting": Weighting,
+             "correspondence": Correspondence, "objective": Objective}
+    kwargs = {}
+    valid = {f.name for f in dataclasses.fields(ICPConfig)}
+    for k, v in d.items():
+        if k not in valid:
+            continue  # forward compatibility: ignore unknown fields
+        kwargs[k] = enums[k](v) if k in enums else v
+    return ICPConfig(**kwargs)
 
 
 def save_session(engine: SlamEngine, path: str,
@@ -110,12 +154,34 @@ def load_session(path: str, engine: Optional[SlamEngine] = None,
 
     meta = json.loads(bytes(np.asarray(data["meta"])).decode())
     if engine is None:
-        # Reconstruct the engine with the SAVED shape config (m, n_r) —
-        # defaults would silently mismatch the restored landmark shapes.
-        from icp_tpu.runtime.config import ICPConfig
+        # Reconstruct the engine with the SAVED configuration — algorithm
+        # variant, thresholds, and policies, not just the shapes; a resumed
+        # session must run the same algorithm that produced the snapshot.
+        from icp_tpu.runtime.config import ICPConfig, ICPParams
+        from icp_tpu.slam.mapping import LoopClosureConfig
+        from icp_tpu.slam.odometry import KeyframePolicy
 
-        engine = SlamEngine(config=ICPConfig(
-            m=int(meta["m"]), n_r=int(meta["n_r"]), estimate_scale=False))
+        if "config" in meta:
+            config = _config_from_dict(meta["config"])
+            engine = SlamEngine(
+                params=ICPParams(**meta["params"]),
+                config=config,
+                policy=KeyframePolicy(**meta["policy"]),
+                loop_config=LoopClosureConfig(**meta["loop_config"]),
+                use_pyramid=bool(meta.get("use_pyramid", False)),
+                pyramid_strides=tuple(meta.get("pyramid_strides",
+                                               (4, 2, 1))),
+            )
+        else:  # legacy snapshot: shapes only, everything else defaulted
+            import warnings
+
+            warnings.warn(
+                "legacy snapshot without full config: non-shape settings "
+                "(objective, weighting, rotation mode, policies) are "
+                "defaulted", stacklevel=2)
+            engine = SlamEngine(config=ICPConfig(
+                m=int(meta["m"]), n_r=int(meta["n_r"]),
+                estimate_scale=False))
     eng = engine
     eng.trajectory = [
         se3.Pose(jnp.asarray(q), jnp.asarray(t))

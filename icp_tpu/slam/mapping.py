@@ -70,13 +70,19 @@ class SlamEngine:
                  policy: KeyframePolicy = KeyframePolicy(),
                  loop_config: LoopClosureConfig = LoopClosureConfig(),
                  use_pyramid: bool = False,
-                 pyramid_strides: tuple = (4, 2, 1)):
+                 pyramid_strides: tuple = (4, 2, 1),
+                 dispatch_retries: int = 0):
         """Args of note:
           use_pyramid: run frame-to-frame registrations coarse-to-fine
             (icp_tpu.icp.pyramid) — wider convergence basin for fast motion
             / dropped frames, at ~1.3x the per-frame cost. Loop-closure
             verification always uses the pyramid when enabled (closure
             candidates have the largest pose error by construction).
+          dispatch_retries: bounded retries (parallel.resilience) around
+            each PURE registration dispatch. Retrying here is safe; wrapping
+            ``process_frame`` from outside is NOT (it mutates engine state —
+            trajectory append, keyframes — before its last dispatch, so an
+            outer retry would duplicate the frame).
         """
         self.params = (params or ICPParams(alpha=2e2)).as_f32()
         # Rigid mode: scale drift compounds over a trajectory.
@@ -85,6 +91,7 @@ class SlamEngine:
         self.loop_config = loop_config
         self.use_pyramid = use_pyramid
         self.pyramid_strides = pyramid_strides
+        self.dispatch_retries = dispatch_retries
         self.map = SlamMap()
         self.trajectory: List[se3.Pose] = []
         self._prev_lms: Optional[jnp.ndarray] = None
@@ -94,11 +101,16 @@ class SlamEngine:
         if self.use_pyramid:
             from icp_tpu.icp.pyramid import register_pyramid
 
-            return jax.block_until_ready(register_pyramid(
-                fixed_lms, moving_lms, self.params, self.config,
-                self.pyramid_strides))
-        return jax.block_until_ready(
-            register(fixed_lms, moving_lms, self.params, self.config))
+            fn = lambda f, m: register_pyramid(  # noqa: E731
+                f, m, self.params, self.config, self.pyramid_strides)
+        else:
+            fn = lambda f, m: register(f, m, self.params, self.config)  # noqa: E731
+        if self.dispatch_retries > 0:
+            from icp_tpu.parallel.resilience import with_retries
+
+            return with_retries(fn, fixed_lms, moving_lms,
+                                retries=self.dispatch_retries)
+        return jax.block_until_ready(fn(fixed_lms, moving_lms))
 
     # -- frame ingestion ----------------------------------------------------
 
@@ -188,6 +200,22 @@ class SlamEngine:
                 optimize_pcg(graph, iterations=iterations))
         else:
             out = jax.block_until_ready(optimize(graph, iterations=iterations))
+        # Re-anchor the full trajectory: every frame between keyframe k and
+        # the next inherits k's world-frame correction
+        # corr_k = refined_k o old_k^-1, so ATE reporting, checkpoints, and
+        # odometry resume all see the optimized poses (keyframe frames land
+        # exactly on their refined pose).
+        corrections = []
         for i, kf in enumerate(self.map.keyframes):
-            kf.pose = se3.Pose(out.q[i], out.t[i])
+            refined = se3.Pose(out.q[i], out.t[i])
+            corrections.append(se3.compose(refined, se3.inverse(kf.pose)))
+            kf.pose = refined
+        kf_frames = [kf.index for kf in self.map.keyframes]
+        ki = 0
+        for f in range(len(self.trajectory)):
+            while ki + 1 < len(kf_frames) and f >= kf_frames[ki + 1]:
+                ki += 1
+            if f >= kf_frames[0]:
+                self.trajectory[f] = se3.compose(corrections[ki],
+                                                 self.trajectory[f])
         return out

@@ -93,3 +93,18 @@ def test_ba_anchor_fixed(rng):
     out = ba_solve(problem, iterations=5)
     np.testing.assert_allclose(np.asarray(out.pose_t[0]),
                                np.asarray(problem.pose_t[0]), atol=1e-3)
+
+
+def test_ba_max_degree_overflow_raises(rng):
+    """A landmark observed more than max_degree times must be rejected, not
+    silently dropped from the Schur cross terms."""
+    import pytest
+
+    from icp_tpu.slam.bundle_adjustment import check_max_degree
+
+    prob, *_ = _make_problem(rng, n_cams=3, n_pts=4)
+    # All 12 observations hit point 0 -> degree 12 > max_degree 8.
+    prob = prob._replace(obs_point=jnp.zeros_like(prob.obs_point))
+    with pytest.raises(ValueError, match="max_degree"):
+        ba_solve(prob, iterations=1, max_degree=8)
+    assert check_max_degree(prob.obs_point, prob.points.shape[0], 12) == 12

@@ -96,3 +96,20 @@ def test_scale_recovery():
         use_power=True,
     )
     assert abs(float(sk) - scale) < 1e-3
+
+
+def test_degenerate_frame_returns_identity():
+    """Fully-masked frame (sensor dropout): S11 = 0 must yield identity
+    rotation and unit scale, never NaN — a NaN here permanently poisons the
+    accumulated ICP state (advisor finding, round 1)."""
+    S11 = jnp.zeros((11,), jnp.float32)
+    zeros3 = jnp.zeros((3,), jnp.float32)
+    for mode in ("power", "svd", "jacobi"):
+        for est in (True, False):
+            qk, tk, sk = horn.solve_step_transform(
+                S11, zeros3, zeros3, mode=mode, estimate_scale=est)
+            assert np.isfinite(np.asarray(qk)).all(), mode
+            np.testing.assert_allclose(np.asarray(qk), [0, 0, 0, 1],
+                                       atol=1e-5)
+            assert float(sk) == 1.0
+            np.testing.assert_allclose(np.asarray(tk), 0.0, atol=1e-6)

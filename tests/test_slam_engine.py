@@ -114,3 +114,51 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     # Resumed engine keeps processing frames.
     eng2.process_frame(synthetic.render_cloud(scene, poses[0]))
     assert len(eng2.trajectory) == len(eng.trajectory) + 1
+
+
+def test_checkpoint_restores_full_config(tmp_path, rng):
+    """load_session(engine=None) must reconstruct the SAVED algorithm
+    configuration, not defaults (a resumed session running a different
+    algorithm would silently diverge)."""
+    from icp_tpu import Objective, RotationMode
+
+    scene = synthetic.default_scene()
+    eng = SlamEngine(
+        ICPParams(alpha=3e2, translation_threshold=0.02),
+        ICPConfig(estimate_scale=False, objective=Objective.PLANE,
+                  rotation=RotationMode.SVD, max_iterations=25),
+        policy=KeyframePolicy(max_gap=2, max_translation=55.0),
+        loop_config=LoopClosureConfig(min_gap=4, max_distance=123.0),
+        use_pyramid=True, pyramid_strides=(2, 1),
+    )
+    for p in _loop_trajectory(3):
+        eng.process_frame(synthetic.render_cloud(scene, p))
+
+    path = save_session(eng, str(tmp_path / "cfg"))
+    eng2 = load_session(path)  # engine=None: reconstruct from meta
+    assert eng2.config == eng.config
+    assert float(eng2.params.alpha) == float(eng.params.alpha)
+    assert float(eng2.params.translation_threshold) == float(
+        eng.params.translation_threshold)
+    assert eng2.policy == eng.policy
+    assert eng2.loop_config == eng.loop_config
+    assert eng2.use_pyramid is True
+    assert eng2.pyramid_strides == (2, 1)
+
+
+def test_optimize_map_reanchors_trajectory(rng):
+    """After optimize_map, the trajectory must reflect the refined keyframe
+    poses (ATE reporting / checkpoints / resume read the trajectory)."""
+    scene = synthetic.default_scene()
+    poses = _loop_trajectory(5)
+    eng = _engine(max_gap=1)
+    for p in poses:
+        eng.process_frame(synthetic.render_cloud(scene, p))
+    eng.optimize_map(iterations=5)
+    # Every keyframe's trajectory entry must equal its refined pose.
+    for kf in eng.map.keyframes:
+        np.testing.assert_allclose(np.asarray(eng.trajectory[kf.index].t),
+                                   np.asarray(kf.pose.t), atol=1e-4)
+        np.testing.assert_allclose(
+            np.abs(np.asarray(eng.trajectory[kf.index].q)),
+            np.abs(np.asarray(kf.pose.q)), atol=1e-5)
