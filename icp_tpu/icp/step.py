@@ -34,7 +34,7 @@ from icp_tpu.ops.moments import (
     s_matrix,
 )
 from icp_tpu.rbc.construct import RBCIndex
-from icp_tpu.rbc.search import rbc_search_grouped, rbc_search_moments
+from icp_tpu.rbc.search import rbc_point_moments, rbc_search_grouped
 from icp_tpu.runtime.config import (
     Correspondence,
     ICPConfig,
@@ -114,6 +114,31 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
       params: dynamic scalars.
       config: static configuration.
     """
+    use_pallas = config.use_pallas and jax.default_backend() == "tpu"
+
+    # Fast path (the production POINT pipeline): transform + rep assignment
+    # + grouping + per-bin search + weighting + the full statistical tail,
+    # fused into two Pallas passes emitting per-bin 8x8 moment matrices —
+    # no per-point tensor returns to HBM after the grouping (see
+    # icp_tpu.kernels.fused_step). PLANE/GICP need per-pair Jacobian rows,
+    # so they take the grouped-search path below.
+    if (config.fused_point
+            and config.correspondence is Correspondence.RBC
+            and config.objective is Objective.POINT):
+        assert isinstance(target, RBCIndex)
+        S11, mean_f, mean_m, _sum_w = rbc_point_moments(
+            target, moving8, state.q, state.t, state.s,
+            params.alpha, params.c, config.query_capacity,
+            weighted=config.weighting is Weighting.WEIGHTED,
+            use_pallas=use_pallas)
+        qk, tk, sk = solve_step_transform(
+            S11, mean_f, mean_m, mode=config.rotation.value,
+            estimate_scale=config.estimate_scale)
+        q = qnormalize(qmul(qk, state.q))
+        t = sk * qrotate(qk, state.t) + tk
+        s = sk * state.s
+        return ICPState(q=q, t=t, s=s, qk=qk, tk=tk, sk=sk, k=state.k + 1)
+
     # 1. Transform the moving set by the accumulated similarity.
     tm = transform_points(moving8, state.q, state.t, state.s)
 
@@ -127,25 +152,6 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
     mv_valid = (jnp.sum(jnp.abs(moving8[..., :3]), axis=-1) > 0).astype(
         moving8.dtype)
     tm = tm.at[:, 7].set(mv_valid)
-
-    # Fast path: fully-fused search + weighting + moment reduction in one
-    # Pallas pass (nothing per-point returns to HBM). POINT objective only;
-    # PLANE needs per-pair Jacobian rows.
-    use_pallas = config.use_pallas and jax.default_backend() == "tpu"
-    if (config.use_fused_moments
-            and config.correspondence is Correspondence.RBC
-            and config.objective is Objective.POINT and use_pallas):
-        assert isinstance(target, RBCIndex)
-        S11, mean_f, mean_m, _sum_w, _nv = rbc_search_moments(
-            target, tm, params.alpha, config.query_capacity,
-            weighted=config.weighting is Weighting.WEIGHTED, c=params.c)
-        qk, tk, sk = solve_step_transform(
-            S11, mean_f, mean_m, mode=config.rotation.value,
-            estimate_scale=config.estimate_scale)
-        q = qnormalize(qmul(qk, state.q))
-        t = sk * qrotate(qk, state.t) + tk
-        s = sk * state.s
-        return ICPState(q=q, t=t, s=s, qk=qk, tk=tk, sk=sk, k=state.k + 1)
 
     # 2. Correspondence search (grouped layout + mask in RBC mode). The
     # symmetric plane objective and GICP thread the moving cloud's rotated

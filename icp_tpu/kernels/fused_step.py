@@ -1,0 +1,409 @@
+"""Pallas TPU kernels: the fully-fused POINT-objective hot loop.
+
+Round-1 profiling (benchmarks/profile_step_stages.py, v5e) of a ~0.57 ms
+ICP iteration: the search chain (transform, rep assignment, grouping,
+bin search) accounted for ~0.23 ms and the POST-search tail — weights,
+centroids, deviations, S-matrix, each a separate XLA pass over
+(n_r*cq, 8) arrays whose 8-lane rows pad to the 128-lane TPU tile (16x
+HBM inflation per pass) — for ~0.34 ms. These kernels collapse the whole
+iteration into two passes:
+
+1. ``rep_assign_pallas`` — the reference's transform kernel + RBC
+   nearest-representative phase (icpTransform_Quaternion,
+   kernels/icp_kernels.cl:771-802, followed by the RBC search's
+   query->representative distances) in ONE matmul: the accumulated
+   similarity, the metric weighting, and the representative centering all
+   fold into a precomputed (8, n_r) matrix C and an (1, n_r) row of
+   per-representative constants (see :func:`prep_rep_assign`), so the
+   kernel is ``argmin(srow - 2 p @ C)`` — the (m, n_r) score tensor never
+   touches HBM.
+
+2. ``bin_point_moments_pallas`` — per-bin exhaustive search (MXU scores +
+   argmin + one-hot matched gather, exactly like kernels.bin_search)
+   IMMEDIATELY reduced to one 8x8 weighted second-moment matrix per bin
+   via a single batched MXU ``dot_general`` contracting the query axis::
+
+       u_i = [m_cx, m_cy, m_cz, 1, f_cx, f_cy, f_cz, 1]
+       P_b = sum_i w_i * u_i u_i^T                       (8, 8)
+
+   The homogeneous lanes make P_b carry EVERY statistic the Horn solve
+   needs: sum(w) at [3,3], the weighted centroid sums in row/column 3,
+   the 3x3 cross-covariance block at [0:3, 4:7], and the deviation
+   energies on the diagonal blocks — so nothing per-point ever returns to
+   HBM (per-iteration output: (n_r, 8, 8), ~1 MB padded vs ~70 MB of
+   padded per-point tensors on the unfused path). This is the
+   Mosaic-friendly reduction layout round-1's ``bin_moments`` kernel
+   lacked: it emitted 19 scalar column-reductions per bin (relayout-heavy
+   VPU work, measured SLOWER than unfused); one batched 8x8 dot_general
+   is a native MXU op.
+
+Both kernels apply the accumulated similarity IN-KERNEL as an 8x8 matmul
+(rigid+scale embeds in the top-left 3x3 of an identity, photometric lanes
+pass through — :func:`prep_similarity`), so per-iteration HBM traffic
+drops to: moving8 read twice (assign + grouping gather), the grouped
+query table, the bin tables, and the tiny moment output.
+
+Moment frame: per-bin centered on the representative (both sides), which
+keeps every in-kernel product at offset scale (f32-safe); the caller
+translates the per-bin partials back to the common frame with exact
+algebra over n_r rows (:func:`point_moments_from_P` — same translation
+the reference's c-scaling trick addresses, kernels/icp_kernels.cl:609-613).
+
+``*_ref`` twins implement the identical math in plain XLA — they ARE the
+production path on CPU backends and the goldens for interpret-mode kernel
+parity tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from icp_tpu.icp.quaternion import quat_to_matrix
+
+DEFAULT_BLOCK_M = 2048
+DEFAULT_BIN_BATCH = 32
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Precomputation (tiny XLA ops; everything the kernels need as constants)
+# ---------------------------------------------------------------------------
+
+
+def prep_similarity(q: jnp.ndarray, t: jnp.ndarray, s: jnp.ndarray):
+    """Fold the accumulated similarity into row-vector form.
+
+    Returns (G (8, 8), b_row (1, 8)) such that for 8-D row points p:
+
+        transform_points(p, q, t, s) == p @ G + b_row
+
+    (geometry lanes get s*R(q) p + t; the homogeneous and photometric
+    lanes pass through, G being identity there and b_row zero).
+    """
+    R = quat_to_matrix(q)
+    A = jnp.eye(8, dtype=R.dtype)
+    A = jax.lax.dynamic_update_slice(A, s * R, (0, 0))
+    b_row = jnp.concatenate([t, jnp.zeros((5,), t.dtype)])[None, :]
+    return A.T, b_row
+
+
+def prep_rep_assign(reps: jnp.ndarray, alpha, G: jnp.ndarray,
+                    b_row: jnp.ndarray):
+    """Fold transform + metric + centering into the rep-assignment matmul.
+
+    With ctr = mean(reps), b_c = reps - ctr, w8 the metric weights and
+    tp = p @ G + b_row, the blended distance satisfies (up to a
+    per-query constant, irrelevant to the argmin over representatives)::
+
+        |tp - r|^2_w  ~  srow[r] - 2 * (p @ C)[r]
+
+    where C = G @ (w8 * b_c)^T and srow = |b_c|^2_w - 2 (b_row - ctr)
+    @ (w8 * b_c)^T. Centering both sides on ctr keeps the f32
+    cancellation error of the quadratic expansion at offset scale — the
+    same trick ops.distance.pairwise_sq_dists plays.
+
+    Returns (C (8, n_r), srow (1, n_r)).
+    """
+    from icp_tpu.ops.distance import metric_weights
+
+    w8 = metric_weights(alpha, reps.dtype)
+    ctr = jnp.mean(reps, axis=0)
+    b_c = reps - ctr
+    B = (b_c * w8).T  # (8, n_r)
+    srow = (jnp.sum(b_c * w8 * b_c, axis=1)[None, :]
+            - 2.0 * jnp.dot(b_row - ctr[None, :], B, precision=_HI))
+    C = jnp.dot(G, B, precision=_HI)
+    return C, srow
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: transform + nearest representative
+# ---------------------------------------------------------------------------
+
+
+def _rep_assign_kernel(p_ref, c_ref, srow_ref, out_ref):
+    """One grid step: BM queries' transformed rep scores + argmin, in VMEM.
+
+    p_ref: (BM, 8) raw moving rows; c_ref: (8, n_r); srow_ref: (1, n_r);
+    out_ref: (1, BM) int32 nearest-representative ids.
+    """
+    scores = srow_ref[:] - 2.0 * jnp.dot(p_ref[:], c_ref[:], precision=_HI)
+    out_ref[:] = jnp.argmin(scores, axis=1).astype(jnp.int32)[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "interpret"))
+def rep_assign_pallas(moving8: jnp.ndarray, C: jnp.ndarray,
+                      srow: jnp.ndarray, *, block_m: int = DEFAULT_BLOCK_M,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Fused transform + query->representative argmin.
+
+    Args:
+      moving8: (m, 8) RAW moving landmarks (transform is folded into C).
+      C, srow: from :func:`prep_rep_assign`.
+    Returns:
+      (m,) int32 nearest-representative id per query.
+    """
+    m, d = moving8.shape
+    n_r = C.shape[1]
+    block_m = min(block_m, m)
+    assert m % block_m == 0, (m, block_m)
+    grid = (m // block_m,)
+
+    rid = pl.pallas_call(
+        _rep_assign_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, n_r), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_r), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_m), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m // block_m, block_m), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n_r * d,
+            bytes_accessed=4 * (m * d + d * n_r + m),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(moving8, C, srow)
+    return rid.reshape(m)
+
+
+def rep_assign_ref(moving8: jnp.ndarray, C: jnp.ndarray,
+                   srow: jnp.ndarray) -> jnp.ndarray:
+    """Plain-XLA twin of :func:`rep_assign_pallas` (CPU path / golden)."""
+    scores = srow - 2.0 * jnp.dot(moving8, C, precision=_HI)
+    return jnp.argmin(scores, axis=1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2: per-bin search reduced to 8x8 moment matrices
+# ---------------------------------------------------------------------------
+
+
+def _lane_iota(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _shift_0to3_into_4to7(dtype):
+    """(8, 8) constant: rows 0:3 land on columns 4:7 (zero elsewhere)."""
+    r = _lane_iota((8, 8), 0)
+    c = _lane_iota((8, 8), 1)
+    return jnp.logical_and(c == r + 4, r < 3).astype(dtype)
+
+
+def _moment_math(p, qvalid, reps_blk, bins_c, sq_b, G, b_row, alpha,
+                 weighted: bool):
+    """Shared kernel/ref body. Shapes: p (BB, cq, 8), qvalid (BB, cq),
+    reps_blk (BB, 8), bins_c (BB, cb, 8), sq_b (BB, cb), G (8, 8),
+    b_row (1, 8), alpha scalar. Returns P (BB, 8, 8)."""
+    lane = _lane_iota((1, 1, 8), 2)
+    # Transform + per-bin rep centering as one matmul + offset:
+    # qc = (p @ G + b_row) - rep  (homogeneous lanes become exactly 0).
+    off = b_row - reps_blk  # (BB, 8)
+    tp = jax.lax.dot_general(p, G, (((2,), (0,)), ((), ())), precision=_HI)
+    qc = tp + off[:, None, :]
+
+    wvec = jnp.where(lane < 3, 1.0,
+                     jnp.where(jnp.logical_and(lane >= 4, lane < 7),
+                               alpha, 0.0)).astype(p.dtype)
+    qg_w = qc * wvec
+    sq_q = jnp.sum(qg_w * qc, axis=-1)  # (BB, cq)
+
+    # Bin scores on the MXU; +inf rides in sq_b for invalid slots.
+    cross = jax.lax.dot_general(qg_w, bins_c,
+                                (((2,), (2,)), ((0,), (0,))), precision=_HI)
+    scores = sq_b[:, None, :] - 2.0 * cross
+    best_slot = jnp.argmin(scores, axis=-1)  # (BB, cq)
+    best_score = jnp.min(scores, axis=-1)
+
+    cb = bins_c.shape[1]
+    slot_ids = _lane_iota(best_slot.shape + (cb,), 2)
+    one_hot = (slot_ids == best_slot[..., None]).astype(p.dtype)
+    # Winner's centered point, straight into u's lanes 4:7: fold the lane
+    # shift into a second tiny matmul (no in-VMEM concat/roll needed).
+    matched_shift = jax.lax.dot_general(
+        jax.lax.dot_general(one_hot, bins_c,
+                            (((2,), (1,)), ((0,), (0,))), precision=_HI),
+        _shift_0to3_into_4to7(p.dtype),
+        (((2,), (0,)), ((), ())), precision=_HI)
+
+    # Validity: slot occupied AND original point non-zero (the reference
+    # defers the invalid-point discard downstream of its samplers,
+    # kernels/icp_kernels.cl:50-51 — this is that discard) AND bin
+    # non-empty (all-inf scores).
+    mask03 = (lane < 3).astype(p.dtype)
+    vo = (jnp.sum(jnp.abs(p) * mask03, axis=-1) > 0).astype(p.dtype)
+    valid = qvalid * vo * jnp.isfinite(best_score).astype(p.dtype)
+    if weighted:
+        d2 = jnp.maximum(best_score + sq_q, 0.0)
+        w = valid * (100.0 / (100.0 + d2))  # reference icpComputeReduceWeights
+    else:
+        w = valid
+
+    ones37 = jnp.logical_or(lane == 3, lane == 7).astype(p.dtype)
+    u = qc * mask03 + matched_shift + ones37
+    # The entire statistical tail of the reference pipeline (weights sum,
+    # icpMean[_Weighted], icpSubtractMean, icpSijProducts) as ONE batched
+    # MXU product: P = sum_i w_i u_i u_i^T.
+    return jax.lax.dot_general(u * w[..., None], u,
+                               (((1,), (1,)), ((0,), (0,))), precision=_HI)
+
+
+def _make_moment_kernel(weighted: bool):
+    def kernel(p_ref, qvalid_ref, reps_ref, bins_ref, sq_b_ref, g_ref,
+               b_ref, alpha_ref, out_ref):
+        out_ref[:] = _moment_math(
+            p_ref[:], qvalid_ref[:], reps_ref[:], bins_ref[:], sq_b_ref[:],
+            g_ref[:], b_ref[:], alpha_ref[0, 0], weighted)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("weighted", "bin_batch",
+                                             "interpret"))
+def bin_point_moments_pallas(mg: jnp.ndarray, qvalid: jnp.ndarray,
+                             reps: jnp.ndarray, bins_c: jnp.ndarray,
+                             sq_b_masked: jnp.ndarray, G: jnp.ndarray,
+                             b_row: jnp.ndarray, alpha, *, weighted: bool,
+                             bin_batch: int = DEFAULT_BIN_BATCH,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Fused per-bin search + weighting + 8x8 moment reduction.
+
+    Args:
+      mg: (n_r, cq, 8) bin-grouped RAW moving rows (transform in-kernel).
+      qvalid: (n_r, cq) f32 slot validity from the grouping.
+      reps: (n_r, 8) representatives (per-bin centering).
+      bins_c: (n_r, cb, 8) rep-centered bin points (RBCIndex.bins_centered).
+      sq_b_masked: (n_r, cb) masked |b|^2 (+inf on invalid slots).
+      G, b_row: from :func:`prep_similarity`.
+      alpha: photometric blend (traced scalar).
+      weighted: reference WEIGHTED vs REGULAR residual weighting.
+    Returns:
+      (n_r, 8, 8) per-bin weighted second-moment matrices P_b in the
+      rep-centered frame (see module docstring for the lane layout).
+    """
+    n_r, cq, d = mg.shape
+    cb = bins_c.shape[1]
+    bin_batch = min(bin_batch, n_r)
+    assert n_r % bin_batch == 0, (n_r, bin_batch)
+    grid = (n_r // bin_batch,)
+    alpha_arr = jnp.asarray(alpha, mg.dtype).reshape(1, 1)
+
+    def i3(i):
+        return (i, 0, 0)
+
+    def i2(i):
+        return (i, 0)
+
+    def full2(i):
+        return (0, 0)
+
+    return pl.pallas_call(
+        _make_moment_kernel(weighted),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bin_batch, cq, d), i3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bin_batch, cq), i2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bin_batch, d), i2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bin_batch, cb, d), i3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bin_batch, cb), i2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bin_batch, d, d), i3,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_r, d, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_r * cq * cb * d * 2 + 2 * n_r * cq * d * d * 3,
+            bytes_accessed=4 * n_r * (cq * d + cb * d + cb + cq + d * d),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(mg, qvalid, reps, bins_c, sq_b_masked, G, b_row, alpha_arr)
+
+
+def bin_point_moments_ref(mg: jnp.ndarray, qvalid: jnp.ndarray,
+                          reps: jnp.ndarray, bins_c: jnp.ndarray,
+                          sq_b_masked: jnp.ndarray, G: jnp.ndarray,
+                          b_row: jnp.ndarray, alpha, *,
+                          weighted: bool) -> jnp.ndarray:
+    """Plain-XLA twin of :func:`bin_point_moments_pallas` — the production
+    path on CPU backends and the interpret-parity golden."""
+    alpha = jnp.asarray(alpha, mg.dtype)
+    return _moment_math(mg, qvalid, reps, bins_c, sq_b_masked, G, b_row,
+                        alpha, weighted)
+
+
+# ---------------------------------------------------------------------------
+# Assembly: per-bin P matrices -> global Horn inputs
+# ---------------------------------------------------------------------------
+
+
+def point_moments_from_P(P: jnp.ndarray, reps: jnp.ndarray, c):
+    """Translate per-bin rep-centered moments to the global Horn inputs.
+
+    Exact algebra over n_r rows (for each bin with rep r, weights w and
+    m/f the TRANSFORMED-moving / matched-fixed points)::
+
+        sum w m f^T |_bin = smf + sm r^T + r sf^T + s0 r r^T
+
+    and the global S subtracts the rank-one mean term, matching the
+    semantics of ops.moments.centroids + deviations + s_matrix (the
+    reference's icpMean_Weighted / icpSubtractMean / icpSijProducts chain,
+    kernels/icp_kernels.cl:454-743). The c scaling is applied at the end
+    (reference kernels/icp_kernels.cl:609-613; it cancels in s_k).
+
+    Args:
+      P: (n_r, 8, 8) from the moment kernel.
+      reps: (n_r, 8).
+      c: S-matrix fp-safety scaling.
+    Returns:
+      (S11 (11,) in icpSijProducts layout, mean_f (3,), mean_m (3,),
+       sum_w scalar).
+    """
+    r = reps[:, :3]
+    s0 = P[:, 3, 3]
+    sm = P[:, 0:3, 3]
+    sf = P[:, 3, 4:7]
+    smf = P[:, 0:3, 4:7]
+    smm = P[:, 0, 0] + P[:, 1, 1] + P[:, 2, 2]
+    sff = P[:, 4, 4] + P[:, 5, 5] + P[:, 6, 6]
+
+    W = jnp.sum(s0)
+    Sm = jnp.sum(sm + s0[:, None] * r, axis=0)
+    Sf = jnp.sum(sf + s0[:, None] * r, axis=0)
+    Smf = jnp.sum(
+        smf
+        + sm[:, :, None] * r[:, None, :]
+        + r[:, :, None] * sf[:, None, :]
+        + s0[:, None, None] * (r[:, :, None] * r[:, None, :]),
+        axis=0,
+    )
+    r2 = jnp.sum(r * r, axis=1)
+    Sff = jnp.sum(sff + 2.0 * jnp.sum(sf * r, axis=1) + s0 * r2)
+    Smm = jnp.sum(smm + 2.0 * jnp.sum(sm * r, axis=1) + s0 * r2)
+
+    # Fully-masked-frame guard: 0/0 here would poison the state (the solve
+    # side is guarded in horn.solve_step_transform).
+    safe_w = jnp.where(W > 0, W, 1.0)
+    mean_m = Sm / safe_w
+    mean_f = Sf / safe_w
+    S3 = Smf - jnp.outer(Sm, Sf) / safe_w
+    ff = Sff - jnp.sum(Sf * Sf) / safe_w
+    mm = Smm - jnp.sum(Sm * Sm) / safe_w
+
+    c2 = jnp.asarray(c, S3.dtype) ** 2
+    S11 = jnp.concatenate([S3.reshape(9), jnp.stack([ff, mm])]) * c2
+    return S11, mean_f, mean_m, W

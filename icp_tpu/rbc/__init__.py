@@ -11,7 +11,7 @@ from icp_tpu.rbc.grouping import (
 from icp_tpu.rbc.search import (
     GroupedSearchResult,
     SearchResult,
+    rbc_point_moments,
     rbc_search,
     rbc_search_grouped,
-    rbc_search_moments,
 )

@@ -165,83 +165,60 @@ def rbc_search_grouped(index: RBCIndex, queries: jnp.ndarray, alpha,
     )
 
 
-def rbc_search_moments(index: RBCIndex, queries: jnp.ndarray, alpha,
-                       query_capacity: int, weighted: bool, c,
-                       interpret: bool = False):
-    """FULLY-fused search path: one Pallas pass produces per-bin moment
-    partials (icp_tpu.kernels.bin_moments) and this function assembles the
-    global Horn inputs — nothing per-point ever returns to HBM.
+def rbc_point_moments(index: RBCIndex, moving8: jnp.ndarray,
+                      q: jnp.ndarray, t: jnp.ndarray, s: jnp.ndarray,
+                      alpha, c, query_capacity: int, *, weighted: bool,
+                      use_pallas: bool, interpret: bool = False):
+    """FULLY-fused POINT-objective iteration front half: transform + rep
+    assignment + grouping + per-bin search + weighting + moments, with
+    only the grouping sort/gather in XLA and everything else in two Pallas
+    passes (icp_tpu.kernels.fused_step; identical-math XLA twins serve CPU
+    backends). Nothing per-point ever returns to HBM after the grouping.
 
-    The per-bin partials are in rep-centered frames; translating them to
-    the common frame is exact algebra over 256 rows:
-
-        sum w m f^T |_bin = smf + sm r^T + r sf^T + s0 r r^T
-
-    and the global S/energies subtract the rank-one mean term.
-
+    Args:
+      index: RBC structure over the fixed set.
+      moving8: (m, 8) RAW moving landmarks (the accumulated transform is
+        applied in-kernel).
+      q, t, s: accumulated similarity.
+      alpha, c: metric blend / S-matrix scaling (traced scalars).
+      query_capacity: static per-bin query capacity.
+      weighted: reference WEIGHTED vs REGULAR.
+      use_pallas: route through the TPU kernels (else the XLA twins).
     Returns:
       (S11 (11,) in the icpSijProducts layout (c applied),
-       mean_f (3,), mean_m (3,), sum_w scalar, n_valid scalar).
+       mean_f (3,), mean_m (3,), sum_w scalar).
     """
-    from icp_tpu.kernels.bin_moments import bin_moments_pallas
+    from icp_tpu.kernels.fused_step import (
+        bin_point_moments_pallas,
+        bin_point_moments_ref,
+        point_moments_from_P,
+        prep_rep_assign,
+        prep_similarity,
+        rep_assign_pallas,
+        rep_assign_ref,
+    )
 
     n_r = index.reps.shape[0]
+    G, b_row = prep_similarity(q, t, s)
+    C, srow = prep_rep_assign(index.reps, alpha, G, b_row)
+    if use_pallas:
+        rid = rep_assign_pallas(moving8, C, srow, interpret=interpret)
+    else:
+        rid = rep_assign_ref(moving8, C, srow)
 
-    d2_qr = pairwise_sq_dists(queries, index.reps, alpha)
-    query_rep = jnp.argmin(d2_qr, axis=1).astype(jnp.int32)
+    glayout = group_rows_by_bin(rid, n_r, query_capacity, (moving8,))
+    (mg,) = glayout.grouped
+    qvalid = glayout.valid.astype(moving8.dtype)
 
-    qlayout = group_rows_by_bin(query_rep, n_r, query_capacity, (queries,))
-    (queries_g,) = qlayout.grouped
-    qc = queries_g - index.reps[:, None, :]
-
-    w8 = metric_weights(alpha, queries.dtype)
-    qg_w = qc * w8
-    sq_q = jnp.sum(qg_w * qc, axis=-1)
-    # Query validity rides in lane 7 of the query vectors (metric weight 0;
-    # icp_step sets it from the ORIGINAL coordinates — transformed invalid
-    # points sit at t, not 0, so a geometry check here would stop filtering
-    # after the first iteration). Callers who never clear lane 7 (the
-    # homogeneous 1) get all-valid, the natural default.
-    qvalid = jnp.logical_and(
-        qlayout.valid, queries_g[..., 7] > 0.5).astype(jnp.float32)
-
-    mom = bin_moments_pallas(qg_w, index.bins_centered, index.sq_b_masked,
-                             sq_q, qvalid, weighted=weighted,
-                             interpret=interpret)
-
-    r = index.reps[:, :3]  # (n_r, 3)
-    s0 = mom[:, 0]
-    sm = mom[:, 1:4]
-    sf = mom[:, 4:7]
-    smf = mom[:, 7:16].reshape(n_r, 3, 3)
-    sff = mom[:, 16]
-    smm = mom[:, 17]
-    n_valid = jnp.sum(mom[:, 18])
-
-    W = jnp.sum(s0)
-    Sm = jnp.sum(sm + s0[:, None] * r, axis=0)
-    Sf = jnp.sum(sf + s0[:, None] * r, axis=0)
-    Smf = jnp.sum(
-        smf
-        + sm[:, :, None] * r[:, None, :]
-        + r[:, :, None] * sf[:, None, :]
-        + s0[:, None, None] * (r[:, :, None] * r[:, None, :]),
-        axis=0,
-    )
-    r2 = jnp.sum(r * r, axis=1)
-    Sff = jnp.sum(sff + 2.0 * jnp.sum(sf * r, axis=1) + s0 * r2)
-    Smm = jnp.sum(smm + 2.0 * jnp.sum(sm * r, axis=1) + s0 * r2)
-
-    safe_w = jnp.where(W > 0, W, 1.0)
-    mean_m = Sm / safe_w
-    mean_f = Sf / safe_w
-    S3 = Smf - jnp.outer(Sm, Sf) / safe_w
-    ff = Sff - jnp.sum(Sf * Sf) / safe_w
-    mm = Smm - jnp.sum(Sm * Sm) / safe_w
-
-    c2 = jnp.asarray(c, S3.dtype) ** 2
-    S11 = jnp.concatenate([S3.reshape(9), jnp.stack([ff, mm])]) * c2
-    return S11, mean_f, mean_m, W, n_valid
+    if use_pallas:
+        P = bin_point_moments_pallas(
+            mg, qvalid, index.reps, index.bins_centered, index.sq_b_masked,
+            G, b_row, alpha, weighted=weighted, interpret=interpret)
+    else:
+        P = bin_point_moments_ref(
+            mg, qvalid, index.reps, index.bins_centered, index.sq_b_masked,
+            G, b_row, alpha, weighted=weighted)
+    return point_moments_from_P(P, index.reps, c)
 
 
 class SearchResult(NamedTuple):

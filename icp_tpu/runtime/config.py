@@ -130,12 +130,14 @@ class ICPConfig:
     # per pair — Rusinkiewicz-style symmetric objective, second-order
     # convergence on smooth surfaces. Only meaningful with PLANE.
     plane_symmetric: bool = False
-    # Fully-fused search+weights+moments kernel (kernels/bin_moments.py).
-    # Measured SLOWER than the bin-search kernel + XLA reductions on v5e
-    # (0.65 vs 0.44 ms/iter — in-kernel scalar-column reductions outweigh
-    # the saved HBM traffic), so off by default; kept as an option for
-    # future hardware/Mosaic revisions.
-    use_fused_moments: bool = False
+    # Fully-fused POINT pipeline (kernels/fused_step.py): transform + rep
+    # assignment + per-bin search + weighting + the whole statistical tail
+    # collapse into two passes emitting per-bin 8x8 moment matrices — no
+    # per-point tensor returns to HBM after the grouping. The default hot
+    # path; disable to fall back to the grouped-search + XLA-reduction
+    # pipeline (same semantics, more HBM traffic — useful for A/B and for
+    # objectives needing per-pair data, which ignore this flag).
+    fused_point: bool = True
 
     def __post_init__(self):
         if self.m <= 0:

@@ -1,13 +1,23 @@
-"""Fused search+moments kernel parity vs the unfused grouped path."""
+"""Fully-fused POINT pipeline (kernels/fused_step.py) parity tests.
+
+Three layers of evidence, mirroring SURVEY.md §4's golden strategy:
+  1. step-level: `icp_step(fused_point=True)` == `icp_step(fused_point=False)`
+     at a random accumulated state (transform folded in-kernel vs explicit);
+  2. kernel-level: the Pallas kernels in interpret mode == their plain-XLA
+     twins (the production CPU path);
+  3. end-to-end: one fused solve recovers a known transform.
+"""
 
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from icp_tpu.ops import moments
+from icp_tpu.icp.state import identity_state
+from icp_tpu.icp.step import icp_step
 from icp_tpu.rbc.construct import rbc_construct
-from icp_tpu.rbc.search import rbc_search_grouped, rbc_search_moments
-from tests.utils import make_cloud8
+from icp_tpu.rbc.search import rbc_point_moments
+from icp_tpu.runtime.config import ICPConfig, ICPParams, Weighting
+from tests.utils import make_cloud8, random_quat
 
 ALPHA = 150.0
 C = 1e-6
@@ -18,55 +28,83 @@ def _setup(rng, n=512, n_r=16, cap=64):
     reps = db[rng.choice(n, n_r, replace=False)]
     idx = rbc_construct(jnp.asarray(db), jnp.asarray(reps),
                         jnp.float32(ALPHA), cap)
-    queries = make_cloud8(rng, n)
-    return idx, jnp.asarray(queries)
+    moving = make_cloud8(rng, n)
+    return idx, jnp.asarray(moving)
 
 
-def _unfused(idx, queries, cq, weighted):
-    res = rbc_search_grouped(idx, queries, jnp.float32(ALPHA), cq)
-    flat = lambda x: x.reshape((-1,) + x.shape[2:])
-    mv, mf = flat(res.queries_g), flat(res.matched_g)
-    nd, mask = flat(res.dist_g), flat(res.valid)
-    pv = jnp.logical_and(jnp.sum(jnp.abs(mv[..., :3]), -1) > 0,
-                         jnp.sum(jnp.abs(mf[..., :3]), -1) > 0)
-    mask = jnp.logical_and(mask, pv)
-    if weighted:
-        w = jnp.where(mask, moments.compute_weights(nd), 0.0)
-        sw = moments.masked_weight_sum(w)
-    else:
-        w, sw = None, None
-    mean_f, mean_m = moments.centroids(mf, mv, w, sw, mask)
-    S11 = moments.s_matrix(moments.deviations(mv, mean_m),
-                           moments.deviations(mf, mean_f),
-                           jnp.float32(C), w, mask)
-    return S11, mean_f, mean_m
+def _random_state(rng):
+    q = jnp.asarray(random_quat(rng, 0.05))
+    t = jnp.asarray((rng.normal(size=3) * 10).astype(np.float32))
+    return identity_state()._replace(q=q, t=t)
+
+
+PARAMS = ICPParams(alpha=ALPHA, c=C).as_f32()
+
+
+@pytest.mark.parametrize("weighting", [Weighting.WEIGHTED, Weighting.REGULAR])
+def test_fused_step_matches_unfused(rng, weighting):
+    """The fused POINT path produces the same iteration as the grouped
+    search + XLA-reduction path, at a non-identity accumulated state."""
+    idx, moving = _setup(rng)
+    state = _random_state(rng)
+    base = dict(m=moving.shape[0], n_r=idx.reps.shape[0],
+                query_capacity=64, weighting=weighting, use_pallas=False)
+    s_fused = icp_step(state, moving, idx, PARAMS,
+                       ICPConfig(**base, fused_point=True))
+    s_ref = icp_step(state, moving, idx, PARAMS,
+                     ICPConfig(**base, fused_point=False))
+    np.testing.assert_allclose(np.asarray(s_fused.q), np.asarray(s_ref.q),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_fused.t), np.asarray(s_ref.t),
+                               atol=0.05)
 
 
 @pytest.mark.parametrize("weighted", [True, False])
-def test_fused_matches_unfused(rng, weighted):
-    idx, queries = _setup(rng)
-    cq = 64
-    S_ref, mf_ref, mm_ref = _unfused(idx, queries, cq, weighted)
-    S, mf, mm, W, nv = rbc_search_moments(
-        idx, queries, jnp.float32(ALPHA), cq, weighted=weighted,
-        c=jnp.float32(C), interpret=True)
+def test_pallas_kernels_match_ref_twins(rng, weighted):
+    """Interpret-mode Pallas == plain-XLA twins (race-detection analog)."""
+    idx, moving = _setup(rng)
+    state = _random_state(rng)
+    out_k = rbc_point_moments(idx, moving, state.q, state.t, state.s,
+                              jnp.float32(ALPHA), jnp.float32(C), 64,
+                              weighted=weighted, use_pallas=True,
+                              interpret=True)
+    out_r = rbc_point_moments(idx, moving, state.q, state.t, state.s,
+                              jnp.float32(ALPHA), jnp.float32(C), 64,
+                              weighted=weighted, use_pallas=False)
+    for a, b, name in zip(out_k, out_r, ("S11", "mean_f", "mean_m", "W")):
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 1e-4 * max(np.abs(b).max(), 1.0)
+        np.testing.assert_allclose(a, b, atol=tol, err_msg=name)
 
-    np.testing.assert_allclose(np.asarray(mf), np.asarray(mf_ref), atol=0.05)
-    np.testing.assert_allclose(np.asarray(mm), np.asarray(mm_ref), atol=0.05)
-    ref = np.asarray(S_ref)
-    np.testing.assert_allclose(np.asarray(S), ref,
-                               atol=2e-4 * np.abs(ref).max(), rtol=2e-3)
-    # Some queries overflow their bin's capacity (dropped identically in
-    # both paths — the S/means comparisons above prove it).
-    assert 0.9 * queries.shape[0] <= int(nv) <= queries.shape[0]
+
+def test_fused_invalid_points_dropped(rng):
+    """Zero-geometry (invalid sensor) moving points must not contribute:
+    kernels/icp_kernels.cl:50-51's deferred discard, done in-kernel."""
+    idx, moving = _setup(rng)
+    state = _random_state(rng)
+    # Zero out a block of points; the moments must match computing on the
+    # valid subset alone. Compare fused outputs: full-with-zeros vs padded
+    # clone where invalid rows are zero too (identical by construction),
+    # vs the unfused step which implements the discard independently.
+    moving = moving.at[100:200].set(0.0)
+    base = dict(m=moving.shape[0], n_r=idx.reps.shape[0],
+                query_capacity=64, weighting=Weighting.WEIGHTED,
+                use_pallas=False)
+    s_fused = icp_step(state, moving, idx, PARAMS,
+                       ICPConfig(**base, fused_point=True))
+    s_ref = icp_step(state, moving, idx, PARAMS,
+                     ICPConfig(**base, fused_point=False))
+    np.testing.assert_allclose(np.asarray(s_fused.q), np.asarray(s_ref.q),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_fused.t), np.asarray(s_ref.t),
+                               atol=0.05)
 
 
 def test_fused_transform_recovery(rng):
-    """End-to-end sanity: one fused-step solve from perfectly-corresponded
-    pairs recovers the known transform (interpret mode)."""
+    """End-to-end sanity: one fused-step solve from a small offset moves
+    strongly toward the known truth (interpret-mode kernels)."""
     from icp_tpu.icp.horn import solve_step_transform
-    from icp_tpu.icp.quaternion import qangle_deg, qconj, qmul, qrotate
-    from tests.utils import random_quat
+    from icp_tpu.icp.quaternion import qconj, qrotate
 
     db = make_cloud8(rng, 512)
     q_true = random_quat(rng, 0.02)
@@ -79,13 +117,13 @@ def test_fused_transform_recovery(rng):
     reps = db[rng.choice(512, 16, replace=False)]
     idx = rbc_construct(jnp.asarray(db), jnp.asarray(reps),
                         jnp.float32(ALPHA), 64)
-    S, mf, mm, W, nv = rbc_search_moments(
-        idx, jnp.asarray(queries), jnp.float32(ALPHA), 64, weighted=True,
-        c=jnp.float32(C), interpret=True)
+    ident = identity_state()
+    S, mf, mm, W = rbc_point_moments(
+        idx, jnp.asarray(queries), ident.q, ident.t, ident.s,
+        jnp.float32(ALPHA), jnp.float32(C), 64, weighted=True,
+        use_pallas=True, interpret=True)
     qk, tk, sk = solve_step_transform(S, mf, mm, mode="power",
                                       estimate_scale=False)
-    # One NN-based iteration from a small offset: the solve should move
-    # strongly toward the truth (matches are mostly correct at this scale).
     err0 = np.linalg.norm(t_true)
     err1 = np.linalg.norm(np.asarray(tk) - t_true)
     assert err1 < err0 * 0.5, (err0, err1)
