@@ -166,9 +166,12 @@ def rep_assign_pallas(moving8: jnp.ndarray, C: jnp.ndarray,
             pl.BlockSpec((1, n_r), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_m), lambda i: (i, 0),
+        # Output rides as columns of a (1, m) row: a (1, block_m) block of
+        # an (m/bm, block_m) array violates Mosaic's sublane tiling (the
+        # second-to-last block dim must divide 8 or equal the array dim).
+        out_specs=pl.BlockSpec((1, block_m), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m // block_m, block_m), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, m), jnp.int32),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n_r * d,
             bytes_accessed=4 * (m * d + d * n_r + m),
@@ -351,27 +354,22 @@ def bin_point_moments_ref(mg: jnp.ndarray, qvalid: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def point_moments_from_P(P: jnp.ndarray, reps: jnp.ndarray, c):
-    """Translate per-bin rep-centered moments to the global Horn inputs.
+def point_moment_partials(P: jnp.ndarray, reps: jnp.ndarray) -> jnp.ndarray:
+    """Translate per-bin rep-centered moments to common-frame global sums.
 
     Exact algebra over n_r rows (for each bin with rep r, weights w and
     m/f the TRANSFORMED-moving / matched-fixed points)::
 
         sum w m f^T |_bin = smf + sm r^T + r sf^T + s0 r r^T
 
-    and the global S subtracts the rank-one mean term, matching the
-    semantics of ops.moments.centroids + deviations + s_matrix (the
-    reference's icpMean_Weighted / icpSubtractMean / icpSijProducts chain,
-    kernels/icp_kernels.cl:454-743). The c scaling is applied at the end
-    (reference kernels/icp_kernels.cl:609-613; it cancels in s_k).
-
     Args:
-      P: (n_r, 8, 8) from the moment kernel.
-      reps: (n_r, 8).
-      c: S-matrix fp-safety scaling.
+      P: (n_b, 8, 8) from the moment kernel.
+      reps: (n_b, 8) the bins' representatives.
     Returns:
-      (S11 (11,) in icpSijProducts layout, mean_f (3,), mean_m (3,),
-       sum_w scalar).
+      (18,) vector [W, Sm(3), Sf(3), Smf(9), Sff, Smm] of PRE-mean-
+      subtraction sums — additive across disjoint bin sets, so shards
+      ``psum`` this vector (the entire per-iteration POINT collective
+      payload) before :func:`assemble_point_moments`.
     """
     r = reps[:, :3]
     s0 = P[:, 3, 3]
@@ -394,6 +392,29 @@ def point_moments_from_P(P: jnp.ndarray, reps: jnp.ndarray, c):
     r2 = jnp.sum(r * r, axis=1)
     Sff = jnp.sum(sff + 2.0 * jnp.sum(sf * r, axis=1) + s0 * r2)
     Smm = jnp.sum(smm + 2.0 * jnp.sum(sm * r, axis=1) + s0 * r2)
+    return jnp.concatenate([
+        jnp.stack([W]), Sm, Sf, Smf.reshape(9), jnp.stack([Sff, Smm])])
+
+
+def assemble_point_moments(sums: jnp.ndarray, c):
+    """Global Horn inputs from the (18,) moment sums.
+
+    Subtracts the rank-one mean term, matching ops.moments.centroids +
+    deviations + s_matrix (the reference's icpMean_Weighted /
+    icpSubtractMean / icpSijProducts chain, kernels/icp_kernels.cl:454-
+    743). The c scaling is applied at the end (reference
+    kernels/icp_kernels.cl:609-613; it cancels in s_k).
+
+    Returns:
+      (S11 (11,) in icpSijProducts layout, mean_f (3,), mean_m (3,),
+       sum_w scalar).
+    """
+    W = sums[0]
+    Sm = sums[1:4]
+    Sf = sums[4:7]
+    Smf = sums[7:16].reshape(3, 3)
+    Sff = sums[16]
+    Smm = sums[17]
 
     # Fully-masked-frame guard: 0/0 here would poison the state (the solve
     # side is guarded in horn.solve_step_transform).
@@ -407,3 +428,8 @@ def point_moments_from_P(P: jnp.ndarray, reps: jnp.ndarray, c):
     c2 = jnp.asarray(c, S3.dtype) ** 2
     S11 = jnp.concatenate([S3.reshape(9), jnp.stack([ff, mm])]) * c2
     return S11, mean_f, mean_m, W
+
+
+def point_moments_from_P(P: jnp.ndarray, reps: jnp.ndarray, c):
+    """Single-device composition: per-bin P matrices -> Horn inputs."""
+    return assemble_point_moments(point_moment_partials(P, reps), c)

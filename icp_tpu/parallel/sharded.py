@@ -6,24 +6,33 @@ this is the BASELINE.json extension: the moving/query axis is sharded over
 
   * transform: local (embarrassingly parallel over dp).
   * phase-1 rep assignment: each mp shard scores its representative slice
-    for the dp-local queries, then an ``all_gather`` over mp resolves the
-    global nearest representative (an argmin-with-payload combine).
-  * phase-2 bin search: each mp shard runs the grouped batched-matmul search
-    over ITS bins for the dp-local queries assigned to them; remote-rep
-    queries score +inf and the mp ``all_gather`` selects the winner.
-  * reductions: weights / centroid partials / S-matrix partials are local
-    sums followed by a single ``psum`` over BOTH axes (11 + 7 + 1 floats —
-    the entire per-iteration collective payload).
+    for the dp-local queries, then a min-with-payload combine (two ``pmin``
+    collectives over m_local floats) resolves the global nearest
+    representative — no (mp, m_local) all_gather.
+  * phase-2 bin search + reductions: the OWNER shard groups its queries
+    into its local bins (one payload sort) and reduces the objective
+    partials directly in the bin-grouped layout — the same scatter-free
+    discipline as the single-chip path (the reference likewise reduces
+    over its permuted arrays, src/ICP/algorithms.cpp:3352-3363). Nothing
+    is scattered back to original query order, and matched pairs never
+    leave the owner shard.
+  * collectives per iteration: the two phase-1 pmins plus ONE ``psum`` of
+    the partial sums — 18 floats for POINT (kernels/fused_step.py moment
+    partials), 27 floats (6x6 system + rhs) for PLANE/GICP.
   * rotation solve: replicated (identical tiny computation on every shard;
     cheaper than communicating it).
 
 The whole iterate-to-convergence loop stays a ``lax.while_loop`` inside one
 ``shard_map``, so a multi-chip registration is still ONE dispatch.
+
+Dropped-query semantics match the single-chip grouped/fused paths: a query
+overflowing its bin's static capacity (or owning an empty bin) is masked
+out of the reductions for that iteration — identical to
+rbc.search.rbc_search_grouped / rbc_point_moments.
 """
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Optional
 
@@ -36,6 +45,13 @@ from icp_tpu.icp.horn import solve_step_transform
 from icp_tpu.icp.quaternion import qmul, qnormalize, qrotate, transform_points
 from icp_tpu.icp.state import ICPState, identity_state
 from icp_tpu.icp.run import converged
+from icp_tpu.kernels.fused_step import (
+    assemble_point_moments,
+    bin_point_moments_pallas,
+    bin_point_moments_ref,
+    point_moment_partials,
+    prep_similarity,
+)
 from icp_tpu.ops.distance import metric_weights, pairwise_sq_dists
 from icp_tpu.ops.moments import (
     centroid_partials,
@@ -47,14 +63,18 @@ from icp_tpu.ops.sampling import sample_representative_indices
 from icp_tpu.parallel.mesh import DP_AXIS, MP_AXIS
 from icp_tpu.rbc.construct import RBCIndex, rbc_construct
 from icp_tpu.rbc.grouping import group_rows_by_bin
+from icp_tpu.rbc.search import bin_phase2
 from icp_tpu.runtime.config import (
     Correspondence,
     ICPConfig,
     ICPParams,
     Objective,
-    RotationMode,
     Weighting,
 )
+
+# Plain int (NOT a jnp scalar: materializing one at import time would
+# initialize the XLA backend before jax.distributed.initialize()).
+_BIG_ID = 2 ** 30
 
 
 def _slice_index_for_mp(index: RBCIndex, n_r_local: int) -> RBCIndex:
@@ -88,97 +108,94 @@ def _slice_index_for_mp(index: RBCIndex, n_r_local: int) -> RBCIndex:
     )
 
 
-def _sharded_rbc_nn(index: RBCIndex, queries: jnp.ndarray, params: ICPParams,
-                    config: ICPConfig, n_r_local: int, query_capacity: int):
-    """mp-sharded RBC search for dp-local queries.
+def _phase1_owned_bins(local: RBCIndex, tm: jnp.ndarray, params: ICPParams,
+                       n_r_local: int):
+    """Global nearest representative via a min-with-payload combine.
 
-    Args:
-      index: REPLICATED index (sliced internally per mp shard).
-      queries: (m_local, 8) dp-local transformed queries.
-    Returns:
-      (matched_fixed (m_local, 8), nn_dist (m_local,)).
+    Each mp shard scores its local rep slice for the dp-local transformed
+    queries; two ``pmin`` collectives (distance, then winner id with the
+    loser shards masked to a big sentinel) resolve the global argmin —
+    m_local floats each, vs the (mp, m_local) all_gather this replaces.
+
+    Returns (bin_of_query (m_local,) int32 in [0, n_r_local] where
+    n_r_local is the parking bin for queries owned by other shards).
     """
-    m_local = queries.shape[0]
-    local = _slice_index_for_mp(index, n_r_local)
-    mp_idx = jax.lax.axis_index(MP_AXIS)
-    rep_offset = mp_idx * n_r_local
-
-    # Phase 1: best local representative, then global combine over mp.
-    d2_qr = pairwise_sq_dists(queries, local.reps, params.alpha)
+    rep_offset = jax.lax.axis_index(MP_AXIS) * n_r_local
+    d2_qr = pairwise_sq_dists(tm, local.reps, params.alpha)
     best_local = jnp.argmin(d2_qr, axis=1).astype(jnp.int32)
     d_local = jnp.min(d2_qr, axis=1)
-    d_all = jax.lax.all_gather(d_local, MP_AXIS)  # (mp, m_local)
-    r_all = jax.lax.all_gather(best_local + rep_offset, MP_AXIS)
-    win = jnp.argmin(d_all, axis=0)
-    query_rep = jnp.take_along_axis(r_all, win[None, :], axis=0)[0]  # global id
-    d_to_rep = jnp.min(d_all, axis=0)
-
-    # Phase 2: grouped in-bin search over the LOCAL bins. Queries owned by a
-    # remote shard land in a parking bin (id n_r_local) that is ignored.
-    local_rep = query_rep - rep_offset
+    d_min = jax.lax.pmin(d_local, MP_AXIS)
+    # The owner computed d_min bitwise-exactly (pmin returns one of the
+    # inputs); cross-shard ties deterministically go to the lowest rep id.
+    rid = jax.lax.pmin(
+        jnp.where(d_local <= d_min, best_local + rep_offset, _BIG_ID),
+        MP_AXIS)
+    local_rep = rid - rep_offset
     owned = (local_rep >= 0) & (local_rep < n_r_local)
-    bin_of_query = jnp.where(owned, local_rep, n_r_local)
-    # One payload sort groups the queries AND their local ids (exact in f32)
-    # bin-major — no member table, no fancy gather (same trick as the
-    # single-chip path; see rbc.grouping.group_rows_by_bin).
-    ids_col = jnp.arange(m_local, dtype=queries.dtype)[:, None]
-    qlayout = group_rows_by_bin(bin_of_query, n_r_local + 1, query_capacity,
-                                (queries, ids_col))
-    qrows, qids = qlayout.grouped
+    return jnp.where(owned, local_rep, n_r_local).astype(jnp.int32)
 
-    qmember = qids[:n_r_local, :, 0].astype(jnp.int32)  # drop the parking bin
-    qvalid = qlayout.valid[:n_r_local]
-    qgroups = qrows[:n_r_local] - local.reps[:, None, :]
 
-    w8 = metric_weights(params.alpha, queries.dtype)
-    qg_w = qgroups * w8
-    sq_q = jnp.sum(qg_w * qgroups, axis=-1)
+def _point_partials(local: RBCIndex, moving_local: jnp.ndarray,
+                    state: ICPState, params: ICPParams, config: ICPConfig,
+                    bin_of_query: jnp.ndarray, n_r_local: int,
+                    query_capacity: int) -> jnp.ndarray:
+    """dp/mp-local POINT moment partials in the bin-grouped layout.
+
+    Groups the shard's owned RAW moving rows into its local bins (overflow
+    and remote-owned queries land in the dropped parking bin) and reduces
+    straight to per-bin 8x8 moment matrices — the single-chip fused
+    pipeline (kernels/fused_step.py) on the local slice. Returns the (18,)
+    pre-mean moment sums; additive across shards (each query contributes
+    on exactly its owner, so no mp de-duplication divide is needed).
+    """
+    glayout = group_rows_by_bin(bin_of_query, n_r_local + 1, query_capacity,
+                                (moving_local,))
+    mg = glayout.grouped[0][:n_r_local]
+    qvalid = glayout.valid[:n_r_local].astype(moving_local.dtype)
+    G, b_row = prep_similarity(state.q, state.t, state.s)
+    weighted = config.weighting is Weighting.WEIGHTED
     if config.use_pallas and jax.default_backend() == "tpu":
-        # Same fused VMEM kernel as the single-chip path, on the local bin
-        # slice; the winner's bin id rides in the payload (one extra lane).
-        from icp_tpu.kernels.bin_search import bin_search_pallas
-
-        vals = jnp.concatenate(
-            [local.bins, local.bin_ids[..., None].astype(jnp.float32)],
-            axis=-1)
-        best_sc, matched_vals = bin_search_pallas(
-            qg_w, local.bins_centered, local.sq_b_masked, vals)
-        best_id = matched_vals[..., 8].astype(jnp.int32)
+        P_b = bin_point_moments_pallas(
+            mg, qvalid, local.reps, local.bins_centered, local.sq_b_masked,
+            G, b_row, params.alpha, weighted=weighted)
     else:
-        cross = jnp.einsum("rqd,rcd->rqc", qg_w, local.bins_centered,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-        score = local.sq_b_masked[:, None, :] - 2.0 * cross
-        best_slot = jnp.argmin(score, axis=-1)
-        best_sc = jnp.min(score, axis=-1)
-        best_id = jnp.take_along_axis(local.bin_ids, best_slot, axis=-1)
-    best_d2 = jnp.where(jnp.isfinite(best_sc),
-                        jnp.maximum(best_sc + sq_q, 0.0), jnp.inf)
+        P_b = bin_point_moments_ref(
+            mg, qvalid, local.reps, local.bins_centered, local.sq_b_masked,
+            G, b_row, params.alpha, weighted=weighted)
+    return point_moment_partials(P_b, local.reps)
 
-    # Scatter grouped results back to dp-local query order; +inf elsewhere.
-    found = qvalid & jnp.isfinite(best_d2)
-    scatter_to = jnp.where(qvalid, qmember, m_local)
-    nn_d_local = jnp.full((m_local,), jnp.inf, queries.dtype).at[
-        scatter_to.reshape(-1)
-    ].set(jnp.where(found, best_d2, jnp.inf).reshape(-1), mode="drop")
-    nn_id_local = jnp.zeros((m_local,), jnp.int32).at[
-        scatter_to.reshape(-1)
-    ].set(best_id.reshape(-1), mode="drop")
 
-    # Fallback candidate: the owning rep's own database point.
-    fb_id = jnp.where(owned, local.rep_db_ids[jnp.clip(local_rep, 0, n_r_local - 1)], 0)
-    fb_d = jnp.where(owned & jnp.isinf(nn_d_local), d_to_rep, jnp.inf)
-    use_fb = fb_d < nn_d_local
-    nn_d_local = jnp.where(use_fb, fb_d, nn_d_local)
-    nn_id_local = jnp.where(use_fb, fb_id, nn_id_local)
+def _grouped_pairs(local: RBCIndex, tm: jnp.ndarray, params: ICPParams,
+                   config: ICPConfig, bin_of_query: jnp.ndarray,
+                   n_r_local: int, query_capacity: int,
+                   extra_rows: jnp.ndarray):
+    """Grouped correspondence pairs on the owner shard (PLANE/GICP path).
 
-    # Final combine over mp: owner shard carries the real value, rest +inf.
-    nd_all = jax.lax.all_gather(nn_d_local, MP_AXIS)  # (mp, m_local)
-    ni_all = jax.lax.all_gather(nn_id_local, MP_AXIS)
-    win2 = jnp.argmin(nd_all, axis=0)
-    nn_dist = jnp.min(nd_all, axis=0)
-    nn_id = jnp.take_along_axis(ni_all, win2[None, :], axis=0)[0]
-    return index.db[nn_id], nn_dist, nn_id
+    Returns flattened (n_r_local*cq, ...) arrays: (moving, matched fixed,
+    nn distance, pair mask, matched fixed normals, extra per-query rows).
+    """
+    glayout = group_rows_by_bin(bin_of_query, n_r_local + 1, query_capacity,
+                                (tm, extra_rows))
+    tg = glayout.grouped[0][:n_r_local]
+    eg = glayout.grouped[1][:n_r_local]
+    qvalid = glayout.valid[:n_r_local]
+
+    qc = tg - local.reps[:, None, :]
+    w8 = metric_weights(params.alpha, tm.dtype)
+    qg_w = qc * w8
+    sq_q = jnp.sum(qg_w * qc, axis=-1)
+    use_pallas = config.use_pallas and jax.default_backend() == "tpu"
+    best_score, matched_g, matched_n = bin_phase2(
+        local.bins, local.bins_centered, local.sq_b_masked,
+        local.bin_normals, qg_w, with_normals=config.needs_normals,
+        use_pallas=use_pallas)
+    best_d2 = jnp.maximum(best_score + sq_q, 0.0)
+    valid = qvalid & jnp.isfinite(best_score)
+
+    n_rows = n_r_local * tg.shape[1]
+    flat = lambda x: x.reshape((n_rows,) + x.shape[2:])
+    return (flat(tg), flat(matched_g), flat(best_d2), flat(valid),
+            flat(matched_n), flat(eg))
 
 
 def sharded_icp_step(state: ICPState, moving_local: jnp.ndarray,
@@ -189,80 +206,115 @@ def sharded_icp_step(state: ICPState, moving_local: jnp.ndarray,
 
     Call INSIDE shard_map over a (dp, mp) mesh.
     """
-    tm = transform_points(moving_local, state.q, state.t, state.s)
+    both = (DP_AXIS, MP_AXIS)
+    mp_size = jax.lax.axis_size(MP_AXIS)
 
     if config.correspondence is Correspondence.RBC:
-        matched_f, nn_dist, nn_id = _sharded_rbc_nn(
-            index, tm, params, config, n_r_local, query_capacity)
+        local = _slice_index_for_mp(index, n_r_local)
+        tm = transform_points(moving_local, state.q, state.t, state.s)
+        bin_of_query = _phase1_owned_bins(local, tm, params, n_r_local)
+
+        if config.objective is Objective.POINT:
+            # Fused grouped-moments path: one 18-float psum, no scatter.
+            sums = _point_partials(local, moving_local, state, params,
+                                   config, bin_of_query, n_r_local,
+                                   query_capacity)
+            S11, mean_f, mean_m, _W = assemble_point_moments(
+                jax.lax.psum(sums, both), params.c)
+            qk, tk, sk = solve_step_transform(
+                S11, mean_f, mean_m, mode=config.rotation.value,
+                estimate_scale=config.estimate_scale)
+            return _accumulate(state, qk, tk, sk)
+
+        # PLANE/GICP need per-pair rows; keep them grouped on the owner.
+        # Moving-side validity rides in query lane 7 (from the ORIGINAL
+        # coordinates — a transformed invalid point sits at t, not 0).
+        mv_valid = (jnp.sum(jnp.abs(moving_local[..., :3]), axis=-1) > 0
+                    ).astype(moving_local.dtype)
+        tm = tm.at[:, 7].set(mv_valid)
+        if ((config.objective is Objective.PLANE and config.plane_symmetric)
+                or config.objective is Objective.GICP):
+            extra_rows = qrotate(state.q, mnormals_local)
+        else:
+            extra_rows = jnp.zeros((tm.shape[0], 0), tm.dtype)
+        mv, matched_f, nn_dist, mask, matched_n, extra = _grouped_pairs(
+            local, tm, params, config, bin_of_query, n_r_local,
+            query_capacity, extra_rows)
+        mask = mask & (mv[..., 7] > 0.5) & (
+            jnp.sum(jnp.abs(matched_f[..., :3]), axis=-1) > 0)
+        mp_dup = 1  # each query reduced on exactly one (dp, mp) shard
     else:
+        # Brute mode: full distance matrix against the replicated db; every
+        # mp shard computes identical partials (divide after the psum).
+        tm = transform_points(moving_local, state.q, state.t, state.s)
         d2 = pairwise_sq_dists(tm, index.db, params.alpha)
         nn_id = jnp.argmin(d2, axis=1)
         nn_dist = jnp.min(d2, axis=1)
         matched_f = index.db[nn_id]
+        matched_n = (index.normals[nn_id] if config.needs_normals
+                     else jnp.zeros((tm.shape[0], 3), tm.dtype))
+        extra = (qrotate(state.q, mnormals_local)
+                 if config.objective is Objective.GICP
+                 else jnp.zeros((tm.shape[0], 0), tm.dtype))
+        mv = tm
+        mask = jnp.logical_and(
+            jnp.sum(jnp.abs(moving_local[..., :3]), axis=-1) > 0,
+            jnp.sum(jnp.abs(matched_f[..., :3]), axis=-1) > 0)
+        mp_dup = mp_size
 
-    both = (DP_AXIS, MP_AXIS)
-    mp_size = jax.lax.axis_size(MP_AXIS)
-    # Invalid (zero-geometry) pair discard — same rule as the single-chip
-    # step. Moving validity comes from the ORIGINAL local coordinates (a
-    # transformed invalid point sits at t, not 0); results here are in
-    # original dp-local order so no lane trick is needed.
-    mask = jnp.logical_and(
-        jnp.sum(jnp.abs(moving_local[..., :3]), axis=-1) > 0,
-        jnp.sum(jnp.abs(matched_f[..., :3]), axis=-1) > 0,
-    )
-    if config.weighting is Weighting.WEIGHTED:
-        w = compute_weights(nn_dist)
-    else:
-        w = None
+    w = (compute_weights(nn_dist)
+         if config.weighting is Weighting.WEIGHTED else None)
 
     if config.objective is Objective.PLANE:
         # Point-to-plane: per-shard 6x6 partials, one psum, replicated solve.
-        # (dp shards are disjoint; mp shards duplicate — divide after psum.)
         from icp_tpu.icp.plane import plane_system_partials, solve_plane_system
 
-        H, b = plane_system_partials(tm[..., :3], matched_f[..., :3],
-                                     index.normals[nn_id], w, mask)
-        H = jax.lax.psum(H, both) / mp_size
-        b = jax.lax.psum(b, both) / mp_size
+        if config.plane_symmetric:
+            matched_n = matched_n + extra[..., :3]
+        H, b = plane_system_partials(mv[..., :3], matched_f[..., :3],
+                                     matched_n, w, mask)
+        H = jax.lax.psum(H, both) / mp_dup
+        b = jax.lax.psum(b, both) / mp_dup
         qk, tk = solve_plane_system(H, b)
         sk = jnp.ones((), tm.dtype)
     elif config.objective is Objective.GICP:
         # Plane-to-plane Mahalanobis partials; same psum contract as PLANE.
-        # Moving normals are precomputed on the full grid (sharded over dp)
-        # and rotated by the accumulated q each iteration.
         from icp_tpu.icp.gicp import gicp_system_partials
         from icp_tpu.icp.plane import solve_plane_system
 
-        n_m = qrotate(state.q, mnormals_local)
-        H, b = gicp_system_partials(tm[..., :3], matched_f[..., :3],
-                                    index.normals[nn_id], n_m,
+        H, b = gicp_system_partials(mv[..., :3], matched_f[..., :3],
+                                    matched_n, extra[..., :3],
                                     params.gicp_epsilon, w, mask)
-        H = jax.lax.psum(H, both) / mp_size
-        b = jax.lax.psum(b, both) / mp_size
+        H = jax.lax.psum(H, both) / mp_dup
+        b = jax.lax.psum(b, both) / mp_dup
         qk, tk = solve_plane_system(H, b)
         sk = jnp.ones((), tm.dtype)
     else:
-        sum_f, sum_m, denom = centroid_partials(matched_f, tm, w, mask)
-        # NOTE: dp shards hold disjoint queries; mp shards all hold the same
-        # queries, so partials must NOT be double counted over mp — divide
-        # by the mp axis size after the psum (cheaper than a second
-        # collective).
-        sum_f = jax.lax.psum(sum_f, both) / mp_size
-        sum_m = jax.lax.psum(sum_m, both) / mp_size
-        denom = jax.lax.psum(denom, both) / mp_size
+        # POINT via brute: centroid/S partials (the RBC POINT path returned
+        # above through the fused grouped-moments branch).
+        sum_f, sum_m, denom = centroid_partials(matched_f, mv, w, mask)
+        sum_f = jax.lax.psum(sum_f, both) / mp_dup
+        sum_m = jax.lax.psum(sum_m, both) / mp_dup
+        denom = jax.lax.psum(denom, both) / mp_dup
         mean_f = sum_f / denom
         mean_m = sum_m / denom
 
         dev_f = deviations(matched_f, mean_f)
-        dev_m = deviations(tm, mean_m)
+        dev_m = deviations(mv, mean_m)
         S11 = s_matrix(dev_m, dev_f, params.c, w, mask)
-        S11 = jax.lax.psum(S11, both) / mp_size
+        S11 = jax.lax.psum(S11, both) / mp_dup
 
         qk, tk, sk = solve_step_transform(
             S11, mean_f, mean_m,
             mode=config.rotation.value,
             estimate_scale=config.estimate_scale)
 
+    return _accumulate(state, qk, tk, sk)
+
+
+def _accumulate(state: ICPState, qk, tk, sk) -> ICPState:
+    """Reference accumulation rule (cpp:3491-3494):
+    R = R_k R;  t = s_k R_k t + t_k;  s = s_k s."""
     q = qnormalize(qmul(qk, state.q))
     t = sk * qrotate(qk, state.t) + tk
     s = sk * state.s

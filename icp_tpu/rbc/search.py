@@ -64,6 +64,63 @@ class GroupedSearchResult(NamedTuple):
     extra_g: jnp.ndarray = None
 
 
+def bin_phase2(bins: jnp.ndarray, bins_centered: jnp.ndarray,
+               sq_b_masked: jnp.ndarray, bin_normals: jnp.ndarray | None,
+               qg_w: jnp.ndarray, *, with_normals: bool, use_pallas: bool,
+               interpret: bool = False):
+    """Per-bin exhaustive search over grouped weighted-centered queries —
+    the shared phase-2 of the single-chip and mp-sharded RBC searches.
+
+    Args:
+      bins: (n_b, cb, 8) bin members (original coordinates).
+      bins_centered: (n_b, cb, 8) rep-centered bin members.
+      sq_b_masked: (n_b, cb) masked |b|^2 (+inf on invalid slots).
+      bin_normals: (n_b, cb, 3) per-member surface normals (may be None
+        when ``with_normals`` is False).
+      qg_w: (n_b, cq, 8) metric-weighted rep-centered grouped queries.
+    Returns:
+      (best_score (n_b, cq) — +inf where the bin is empty,
+       matched_g (n_b, cq, 8), matched_n (n_b, cq, 3)).
+    """
+    if use_pallas:
+        from icp_tpu.kernels.bin_search import bin_search_pallas
+
+        if with_normals:
+            # Payload = points ++ normals (padded to 16 lanes): one one-hot
+            # matmul fetches both for the winner.
+            pad = jnp.zeros(bins.shape[:2] + (1,), bins.dtype)
+            vals = jnp.concatenate([bins, bin_normals, pad], axis=-1)  # V=12
+        else:
+            vals = bins
+        best_score, matched_vals = bin_search_pallas(
+            qg_w, bins_centered, sq_b_masked, vals, interpret=interpret)
+        matched_g = matched_vals[..., :8]
+        matched_n = (matched_vals[..., 8:11] if with_normals
+                     else jnp.zeros(matched_vals.shape[:2] + (3,),
+                                    matched_vals.dtype))
+        return best_score, matched_g, matched_n
+
+    cross = jnp.einsum("rqd,rcd->rqc", qg_w, bins_centered,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    # Per query the argmin only needs |b|^2 - 2 q.b (sq_q is a row
+    # constant), and sq_b_masked carries +inf on invalid slots — one fused
+    # pass over the (n_b, cq, cb) tensor instead of three.
+    score = sq_b_masked[:, None, :] - 2.0 * cross
+
+    # argmin and min lower to ONE fused variadic reduce over the big tensor
+    # (a take_along_axis of the winner would be a second full-tensor gather).
+    best_slot = jnp.argmin(score, axis=-1)
+    best_score = jnp.min(score, axis=-1)
+    matched_g = jnp.take_along_axis(bins, best_slot[..., None], axis=1)
+    if with_normals:
+        matched_n = jnp.take_along_axis(
+            bin_normals, best_slot[..., None], axis=1)
+    else:
+        matched_n = jnp.zeros(matched_g.shape[:2] + (3,), matched_g.dtype)
+    return best_score, matched_g, matched_n
+
+
 def rbc_search_grouped(index: RBCIndex, queries: jnp.ndarray, alpha,
                        query_capacity: int, use_pallas: bool = False,
                        interpret: bool = False,
@@ -100,58 +157,11 @@ def rbc_search_grouped(index: RBCIndex, queries: jnp.ndarray, alpha,
     qg_w = qc * w8
     sq_q = jnp.sum(qg_w * qc, axis=-1)
 
-    if use_pallas:
-        from icp_tpu.kernels.bin_search import bin_search_pallas
-
-        if with_normals:
-            # Payload = points ++ normals (padded to 16 lanes): one one-hot
-            # matmul fetches both for the winner.
-            pad = jnp.zeros(index.bins.shape[:2] + (1,), index.bins.dtype)
-            vals = jnp.concatenate(
-                [index.bins, index.bin_normals, pad], axis=-1)  # V = 12
-        else:
-            vals = index.bins
-        best_score, matched_vals = bin_search_pallas(
-            qg_w, index.bins_centered, index.sq_b_masked, vals,
-            interpret=interpret)
-        matched_g = matched_vals[..., :8]
-        matched_n = (matched_vals[..., 8:11] if with_normals
-                     else jnp.zeros(matched_vals.shape[:2] + (3,),
-                                    matched_vals.dtype))
-        best_d2 = jnp.maximum(best_score + sq_q, 0.0)
-        valid = qlayout.valid & jnp.isfinite(best_score)
-        n_dropped = queries.shape[0] - jnp.sum(valid.astype(jnp.int32))
-        return GroupedSearchResult(
-            queries_g=queries_g,
-            matched_g=matched_g,
-            dist_g=jnp.where(valid, best_d2, 0.0),
-            valid=valid,
-            n_dropped=n_dropped,
-            matched_normals=matched_n,
-            extra_g=extra_g,
-        )
-
-    cross = jnp.einsum("rqd,rcd->rqc", qg_w, index.bins_centered,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
-    # Per query the argmin only needs |b|^2 - 2 q.b (sq_q is a row
-    # constant), and sq_b_masked carries +inf on invalid slots — one fused
-    # pass over the (n_r, cq, cb) tensor instead of three.
-    score = index.sq_b_masked[:, None, :] - 2.0 * cross
-
-    # argmin and min lower to ONE fused variadic reduce over the big tensor
-    # (a take_along_axis of the winner would be a second full-tensor gather).
-    best_slot = jnp.argmin(score, axis=-1)
-    best_score = jnp.min(score, axis=-1)
+    best_score, matched_g, matched_n = bin_phase2(
+        index.bins, index.bins_centered, index.sq_b_masked,
+        index.bin_normals, qg_w, with_normals=with_normals,
+        use_pallas=use_pallas, interpret=interpret)
     best_d2 = jnp.maximum(best_score + sq_q, 0.0)
-    matched_g = jnp.take_along_axis(
-        index.bins, best_slot[..., None], axis=1)
-    if with_normals:
-        matched_n = jnp.take_along_axis(
-            index.bin_normals, best_slot[..., None], axis=1)
-    else:
-        matched_n = jnp.zeros(matched_g.shape[:2] + (3,), matched_g.dtype)
-
     valid = qlayout.valid & jnp.isfinite(best_score)
     n_dropped = queries.shape[0] - jnp.sum(valid.astype(jnp.int32))
     return GroupedSearchResult(

@@ -1,21 +1,48 @@
-"""Worker for the true multi-process distributed test.
+"""Worker for the true multi-process distributed tests.
 
 Launched (2x) by tests/test_multiprocess.py: initializes jax.distributed on
 the CPU backend (Gloo collectives — the DCN stand-in), builds a global
-(dp=2, mp=1) mesh spanning both processes, forms global sharded arrays from
+(dp, mp) mesh spanning both processes, forms global sharded arrays from
 process-local data, runs the sharded registration, and prints the resulting
 transform for the parent to compare.
+
+argv: port pid variant n_local_devices n_dp n_mp
+  variant: point | plane | gicp (objective/weighting preset).
 """
 
 import os
 import sys
 
 
+def _config(variant: str, m: int):
+    from icp_tpu import (Correspondence, ICPConfig, Objective, RotationMode,
+                        Weighting)
+
+    base = dict(m=m, n_r=64, correspondence=Correspondence.RBC,
+                estimate_scale=False, max_iterations=20)
+    if variant == "point":
+        return ICPConfig(rotation=RotationMode.POWER,
+                         weighting=Weighting.WEIGHTED, **base)
+    if variant == "plane":
+        return ICPConfig(objective=Objective.PLANE, **base)
+    if variant == "gicp":
+        return ICPConfig(objective=Objective.GICP, **base)
+    raise ValueError(variant)
+
+
 def main():
     port = sys.argv[1]
     pid = int(sys.argv[2])
+    variant = sys.argv[3] if len(sys.argv) > 3 else "point"
+    n_local = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    n_dp = int(sys.argv[5]) if len(sys.argv) > 5 else 2
+    n_mp = int(sys.argv[6]) if len(sys.argv) > 6 else 1
 
     os.environ["JAX_PLATFORMS"] = "cpu"
+    if n_local > 1:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={n_local}").strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -29,12 +56,12 @@ def main():
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from icp_tpu import Correspondence, ICPConfig, ICPParams, RotationMode, Weighting
+    from icp_tpu import ICPParams
     from icp_tpu.parallel.distributed import make_global_mesh
     from icp_tpu.parallel.sharded import make_sharded_register
 
-    mesh = make_global_mesh(n_dp=2, n_mp=1)
-    assert len(jax.devices()) == 2, jax.devices()
+    mesh = make_global_mesh(n_dp=n_dp, n_mp=n_mp)
+    assert len(jax.devices()) == 2 * n_local, jax.devices()
 
     # Deterministic pair, identical in both processes.
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -43,14 +70,11 @@ def main():
     m = 4096
     fixed_np, moving_np = _synthetic_pair(m, seed=7)
 
-    config = ICPConfig(m=m, n_r=64, rotation=RotationMode.POWER,
-                       weighting=Weighting.WEIGHTED,
-                       correspondence=Correspondence.RBC,
-                       estimate_scale=False, max_iterations=20)
+    config = _config(variant, m)
     params = ICPParams(alpha=2e2, angle_threshold_deg=0.0,
                        translation_threshold=0.0).as_f32()
 
-    # fixed: replicated; moving: dp-sharded (this process owns its half).
+    # fixed: replicated; moving: dp-sharded (each process owns its rows).
     fixed = jax.make_array_from_callback(
         fixed_np.shape, NamedSharding(mesh, P()),
         lambda idx: fixed_np[idx])

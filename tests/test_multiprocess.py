@@ -1,7 +1,12 @@
-"""TRUE multi-process distributed registration (2 processes, 1 CPU device
-each, Gloo collectives standing in for DCN) — validates
-parallel.distributed + parallel.sharded across a real process boundary,
-the capability the reference lacks entirely."""
+"""TRUE multi-process distributed registration (2 processes, Gloo
+collectives standing in for DCN) — validates parallel.distributed +
+parallel.sharded across a real process boundary, the capability the
+reference lacks entirely.
+
+Scenarios: POINT (2 procs x 1 device, dp-only), PLANE (2 procs x 2
+devices, (dp=2, mp=2) — host boundary between dp rows, mp intra-host),
+GICP (2 procs x 1 device, mp-only — bins split ACROSS the process
+boundary)."""
 
 import os
 import socket
@@ -19,7 +24,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_registration_matches_single():
+def _run_pair(variant: str, n_local: int, n_dp: int, n_mp: int):
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "multiprocess_worker.py")
     env = dict(os.environ, JAX_PLATFORMS="cpu",
@@ -27,11 +32,12 @@ def test_two_process_registration_matches_single():
                    [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
                    + os.environ.get("PYTHONPATH", "").split(os.pathsep)))
     # Workers must not inherit the forced single-CPU-device test flags in a
-    # conflicting way; they set their own platform.
+    # conflicting way; they set their own platform/device count.
     env.pop("XLA_FLAGS", None)
 
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(port), str(i)],
+        [sys.executable, worker, str(port), str(i), variant,
+         str(n_local), str(n_dp), str(n_mp)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
         for i in range(2)]
     outs = []
@@ -55,21 +61,51 @@ def test_two_process_registration_matches_single():
     # Both processes computed the identical replicated result.
     np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-6)
     assert results[0][0] == results[1][0] == 20
+    return results[0][1]
 
-    # And it matches the single-process registration.
-    from icp_tpu import (Correspondence, ICPConfig, ICPParams, RotationMode,
-                         Weighting, register)
+
+def _single(variant: str):
+    from icp_tpu import (Correspondence, ICPConfig, ICPParams, Objective,
+                         RotationMode, Weighting, register)
     from __graft_entry__ import _synthetic_pair
 
     fixed_np, moving_np = _synthetic_pair(4096, seed=7)
-    config = ICPConfig(m=4096, n_r=64, rotation=RotationMode.POWER,
-                       weighting=Weighting.WEIGHTED,
-                       correspondence=Correspondence.RBC,
-                       estimate_scale=False, max_iterations=20)
+    base = dict(m=4096, n_r=64, correspondence=Correspondence.RBC,
+                estimate_scale=False, max_iterations=20)
+    config = {
+        "point": ICPConfig(rotation=RotationMode.POWER,
+                           weighting=Weighting.WEIGHTED, **base),
+        "plane": ICPConfig(objective=Objective.PLANE, **base),
+        "gicp": ICPConfig(objective=Objective.GICP, **base),
+    }[variant]
     params = ICPParams(alpha=2e2, angle_threshold_deg=0.0,
                        translation_threshold=0.0).as_f32()
-    single = register(jnp.asarray(fixed_np), jnp.asarray(moving_np), params,
-                      config)
-    T_single = np.asarray(single.T)
-    np.testing.assert_allclose(results[0][1][:4], T_single[:4], atol=5e-4)
-    np.testing.assert_allclose(results[0][1][4:7], T_single[4:7], atol=0.2)
+    state = register(jnp.asarray(fixed_np), jnp.asarray(moving_np), params,
+                     config)
+    return np.asarray(state.T)
+
+
+def test_two_process_point_dp():
+    T = _run_pair("point", n_local=1, n_dp=2, n_mp=1)
+    T_single = _single("point")
+    np.testing.assert_allclose(T[:4], T_single[:4], atol=5e-4)
+    np.testing.assert_allclose(T[4:7], T_single[4:7], atol=0.2)
+
+
+def test_two_process_plane_dp2_mp2():
+    """2 procs x 2 devices: dp spans the process boundary, mp intra-host."""
+    T = _run_pair("plane", n_local=2, n_dp=2, n_mp=2)
+    T_single = _single("plane")
+    # Looser: NN tie-breaking differs between the sharded/single search
+    # paths and the plane solve is sensitive to individual pair swaps.
+    np.testing.assert_allclose(T[:4], T_single[:4], atol=2e-3)
+    np.testing.assert_allclose(T[4:7], T_single[4:7], atol=0.3)
+
+
+def test_two_process_gicp_mp_across_hosts():
+    """mp-only mesh: the RBC bins split across the process boundary, so the
+    phase-1 min-with-payload combine rides the inter-process link."""
+    T = _run_pair("gicp", n_local=1, n_dp=1, n_mp=2)
+    T_single = _single("gicp")
+    np.testing.assert_allclose(T[:4], T_single[:4], atol=2e-3)
+    np.testing.assert_allclose(T[4:7], T_single[4:7], atol=0.3)
