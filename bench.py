@@ -83,21 +83,49 @@ def main() -> None:
         scene, synthetic.CameraPose.identity()).reshape(-1, 8))
     lb = get_landmarks(synthetic.render_cloud(scene, pose_b).reshape(-1, 8))
     rel = se3.relative(synthetic.CameraPose.identity(), pose_b)
-    acc_cfg = ICPConfig(estimate_scale=False, objective=Objective.PLANE)
     acc_params = ICPParams(alpha=2e2).as_f32()
-    st = jax.block_until_ready(register(la, lb, acc_params, acc_cfg))
-    t_err = float(jnp.linalg.norm(st.t - rel.t))
-    a_err = float(qangle_deg(qmul(st.q, qconj(rel.q))))
-    accuracy_ok = bool(t_err < 1.0 and a_err < 0.05)
+
+    def gate(config, t_bound, a_bound, fixed=la, moving=lb, truth=rel):
+        st = jax.block_until_ready(register(fixed, moving, acc_params, config))
+        t_err = float(jnp.linalg.norm(st.t - truth.t))
+        a_err = float(qangle_deg(qmul(st.q, qconj(truth.q))))
+        return bool(t_err < t_bound and a_err < a_bound), t_err, a_err
+
+    plane_ok, plane_t, plane_a = gate(
+        ICPConfig(estimate_scale=False, objective=Objective.PLANE), 1.0, 0.05)
+    # GICP: plane-to-plane Mahalanobis, same sub-mm class as PLANE.
+    gicp_ok, gicp_t, gicp_a = gate(
+        ICPConfig(estimate_scale=False, objective=Objective.GICP), 1.0, 0.05)
+
+    # Pyramid gate: coarse-to-fine from a LARGE offset (outside the
+    # single-level basin for fast motion) must still land on the truth.
+    from icp_tpu.icp.pyramid import register_pyramid
+
+    q_big = np.array([0, np.sin(0.03), 0, np.cos(0.03)], np.float32)
+    t_big = np.array([60.0, -40.0, 30.0], np.float32)
+    pose_c = synthetic.CameraPose(jnp.asarray(q_big), jnp.asarray(t_big))
+    lc = get_landmarks(synthetic.render_cloud(scene, pose_c).reshape(-1, 8))
+    rel_c = se3.relative(synthetic.CameraPose.identity(), pose_c)
+    stp = jax.block_until_ready(register_pyramid(
+        la, lc, acc_params,
+        ICPConfig(estimate_scale=False, objective=Objective.PLANE),
+        strides=(4, 2, 1)))
+    pyr_t = float(jnp.linalg.norm(stp.t - rel_c.t))
+    pyr_a = float(qangle_deg(qmul(stp.q, qconj(rel_c.q))))
+    pyramid_ok = bool(pyr_t < 2.0 and pyr_a < 0.1)
 
     print(json.dumps({
         "metric": "icp_iteration_ms_f16384_r256",
         "value": round(per_iter_ms, 4),
         "unit": "ms/iteration",
         "vs_baseline": round(BASELINE_MS / per_iter_ms, 3),
-        "accuracy_ok": accuracy_ok,
-        "plane_t_err_mm": round(t_err, 4),
-        "plane_ang_err_deg": round(a_err, 5),
+        "accuracy_ok": bool(plane_ok and gicp_ok and pyramid_ok),
+        "plane_t_err_mm": round(plane_t, 4),
+        "plane_ang_err_deg": round(plane_a, 5),
+        "gicp_t_err_mm": round(gicp_t, 4),
+        "gicp_ang_err_deg": round(gicp_a, 5),
+        "pyramid_t_err_mm": round(pyr_t, 4),
+        "pyramid_ang_err_deg": round(pyr_a, 5),
     }))
 
 

@@ -65,12 +65,12 @@ def main():
     from __graft_entry__ import _synthetic_pair
 
     variants = _parse_variants(sys.argv[1:])
-    fixed_np, moving_np = _synthetic_pair(16384)
+    configs = [dataclasses.replace(ICPConfig(), **ov) for ov in variants]
+    assert len({c.m for c in configs}) == 1, "variants must share m"
+    fixed_np, moving_np = _synthetic_pair(configs[0].m)
     fixed, moving = jnp.asarray(fixed_np), jnp.asarray(moving_np)
     params = ICPParams(alpha=2e2, angle_threshold_deg=0.0,
                        translation_threshold=0.0).as_f32()
-
-    configs = [dataclasses.replace(ICPConfig(), **ov) for ov in variants]
     # Warm/compile every variant first, then interleave measurement rounds
     # so drift within the session hits all variants equally. Min T(hi) and
     # min T(lo) are taken SEPARATELY before differencing — min-of-

@@ -211,6 +211,7 @@ def load_session(path: str, engine: Optional[SlamEngine] = None,
     m.loop_closures = [tuple(e) for e in _get("loop_closures", (0, 2),
                                               np.int32)]
     eng.map = m
+    eng._rebuild_grid()  # loop-closure spatial index over restored poses
     eng._gap_since_kf = int(meta.get("gap_since_kf", 0))
     last = _get("last_lms", (0, 8), np.float32)
     if last.size:

@@ -96,6 +96,16 @@ class SlamEngine:
         self.trajectory: List[se3.Pose] = []
         self._prev_lms: Optional[jnp.ndarray] = None
         self._gap_since_kf = 0
+        # Loop-closure scaling state: a grid hash over keyframe positions
+        # (cell = max_distance, so every in-range candidate lives in the
+        # 3^3 neighborhood) + host-side numpy pose mirrors so the gating
+        # never round-trips the device, + a per-batch-size cache of
+        # vmapped verification dispatches.
+        self._kf_grid: dict = {}
+        self._kf_pos: List[np.ndarray] = []
+        self._kf_quat: List[np.ndarray] = []
+        self._verify_fns: dict = {}
+        self.n_pairs_verified = 0  # diagnostic: total closure ICP dispatches
 
     def _register(self, fixed_lms, moving_lms):
         if self.use_pyramid:
@@ -153,23 +163,108 @@ class SlamEngine:
             self.map.measurements.append(se3.relative(prev.pose, pose))
             self.map.weights.append(1.0)
         self._detect_loop_closures(kf_idx)
+        self._grid_insert(kf_idx, pose)
 
     # -- loop closure -------------------------------------------------------
+    #
+    # Round-1 scanned EVERY prior keyframe per new keyframe with one device
+    # round-trip per pose gate and one full ICP dispatch per surviving
+    # candidate — O(K) gates and serial verifications, dead at 10^3
+    # keyframes. Now: a grid hash over positions bounds the candidate set
+    # to the spatial neighborhood, the pose gates run vectorized on
+    # host-side numpy mirrors (zero device traffic), and ALL surviving
+    # candidates of a keyframe verify in ONE vmapped registration dispatch
+    # (batch padded to powers of two to bound recompiles).
+
+    def _cell(self, t: np.ndarray) -> tuple:
+        cs = self.loop_config.max_distance
+        return (int(np.floor(t[0] / cs)), int(np.floor(t[1] / cs)),
+                int(np.floor(t[2] / cs)))
+
+    def _grid_insert(self, kf_idx: int, pose: se3.Pose) -> None:
+        t = np.asarray(pose.t)
+        self._kf_pos.append(t)
+        self._kf_quat.append(np.asarray(pose.q))
+        self._kf_grid.setdefault(self._cell(t), []).append(kf_idx)
+
+    def _rebuild_grid(self) -> None:
+        """Re-key the spatial index after poses move (optimize_map)."""
+        self._kf_grid.clear()
+        self._kf_pos = [np.asarray(kf.pose.t) for kf in self.map.keyframes]
+        self._kf_quat = [np.asarray(kf.pose.q) for kf in self.map.keyframes]
+        for i, t in enumerate(self._kf_pos):
+            self._kf_grid.setdefault(self._cell(t), []).append(i)
+
+    def _candidate_ids(self, kf_idx: int, pose: se3.Pose) -> List[int]:
+        """Spatially-plausible, gap-separated, pose-gated candidates."""
+        lc = self.loop_config
+        t_cur = np.asarray(pose.t)
+        q_cur = np.asarray(pose.q)
+        cx, cy, cz = self._cell(t_cur)
+        ids: List[int] = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    ids.extend(self._kf_grid.get((cx + dx, cy + dy, cz + dz),
+                                                 ()))
+        ids = sorted(j for j in set(ids) if j < kf_idx - lc.min_gap)
+        if not ids:
+            return []
+        ts = np.stack([self._kf_pos[j] for j in ids])
+        qs = np.stack([self._kf_quat[j] for j in ids])
+        dist = np.linalg.norm(ts - t_cur, axis=1)  # |R_a^T (t_b - t_a)|
+        dots = np.clip(np.abs(qs @ q_cur), 0.0, 1.0)
+        ang = np.degrees(2.0 * np.arccos(dots))
+        keep = (dist <= lc.max_distance) & (ang <= lc.max_angle_deg)
+        return [j for j, k in zip(ids, keep) if k]
+
+    def _verify_batch(self, fixed_stack: jnp.ndarray, moving_lms):
+        """One vmapped registration dispatch over a candidate batch."""
+        b = fixed_stack.shape[0]
+        if b not in self._verify_fns:
+            cfg, prm = self.config, self.params
+            if self.use_pyramid:
+                from icp_tpu.icp.pyramid import register_pyramid
+
+                strides = self.pyramid_strides
+                one = lambda f, m: register_pyramid(  # noqa: E731
+                    f, m, prm, cfg, strides)
+            else:
+                one = lambda f, m: register(f, m, prm, cfg)  # noqa: E731
+            self._verify_fns[b] = jax.jit(jax.vmap(one, in_axes=(0, None)))
+        fn = self._verify_fns[b]
+        if self.dispatch_retries > 0:
+            from icp_tpu.parallel.resilience import with_retries
+
+            return with_retries(fn, fixed_stack, moving_lms,
+                                retries=self.dispatch_retries)
+        return jax.block_until_ready(fn(fixed_stack, moving_lms))
 
     def _detect_loop_closures(self, kf_idx: int) -> None:
         cur = self.map.keyframes[kf_idx]
         lc = self.loop_config
-        for j, cand in enumerate(self.map.keyframes[:max(kf_idx - lc.min_gap, 0)]):
-            d = se3.relative(cand.pose, cur.pose)
-            if (float(jnp.linalg.norm(d.t)) > lc.max_distance
-                    or float(qangle_deg(d.q)) > lc.max_angle_deg):
-                continue
-            # Verify with a full registration cand <- cur.
-            state = self._register(cand.landmarks, cur.landmarks)
-            if int(state.k) > lc.max_iterations_accept:
+        cand = self._candidate_ids(kf_idx, cur.pose)
+        if not cand:
+            return
+        # Pad to the next power of two (bounds distinct vmap compiles to
+        # log2(K) graphs); padding lanes repeat the last candidate.
+        b = 1 << (len(cand) - 1).bit_length()
+        padded = cand + [cand[-1]] * (b - len(cand))
+        fixed_stack = jnp.stack(
+            [self.map.keyframes[j].landmarks for j in padded])
+        states = self._verify_batch(fixed_stack, cur.landmarks)
+        self.n_pairs_verified += len(cand)
+        ks = np.asarray(states.k)
+        qs = np.asarray(states.q)
+        ts = np.asarray(states.t)
+        for i, j in enumerate(cand):
+            # Accept when ICP converged within the budget (non-convergent
+            # registrations are unreliable matches).
+            if int(ks[i]) > lc.max_iterations_accept:
                 continue
             self.map.edges.append((j, kf_idx))
-            self.map.measurements.append(se3.Pose(state.q, state.t))
+            self.map.measurements.append(
+                se3.Pose(jnp.asarray(qs[i]), jnp.asarray(ts[i])))
             # Loop closures weighted above odometry links.
             self.map.weights.append(4.0)
             self.map.loop_closures.append((j, kf_idx))
@@ -218,4 +313,5 @@ class SlamEngine:
             if f >= kf_frames[0]:
                 self.trajectory[f] = se3.compose(corrections[ki],
                                                  self.trajectory[f])
+        self._rebuild_grid()  # keyframe positions moved
         return out
