@@ -139,30 +139,19 @@ def load_cloud(rgb_path: str, depth_path: str,
     return np.asarray(backproject(depth_mm, rgb, fx=fx, fy=fy, cx=cx, cy=cy))
 
 
-def write_synthetic_sequence(root: str, n_frames: int = 5,
-                             scene=None, poses=None) -> TumSequence:
-    """Render a synthetic sequence and write it in TUM format (rgb/depth
-    PNGs + index files + groundtruth.txt), for pipeline tests without
-    external data. Units: TUM meters in groundtruth, 5000-scale depth PNGs.
-    """
+def write_sequence(root: str, frames, poses) -> TumSequence:
+    """Write (depth_mm, rgb) frames + ground-truth poses in TUM format
+    (rgb/depth PNGs + index files + groundtruth.txt). ``frames`` yields
+    ((H, W) depth in mm, (H, W, 3) rgb in [0, 1]); ``poses`` yields
+    objects with ``.q`` / ``.t`` (t in mm — written as TUM meters,
+    depth as 5000-scale 16-bit PNGs)."""
     from PIL import Image
-
-    import jax.numpy as jnp
-
-    from icp_tpu.sensors import synthetic
-
-    scene = scene if scene is not None else synthetic.default_scene()
-    if poses is None:
-        poses = synthetic.orbit_trajectory(n_frames, radius_mm=50.0,
-                                           yaw_rad=0.04)
 
     os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(root, "depth"), exist_ok=True)
     rgb_lines, depth_lines, gt_lines = [], [], []
-    for i, pose in enumerate(poses):
+    for i, ((depth, rgb), pose) in enumerate(zip(frames, poses)):
         ts = float(i) * (1.0 / 30.0)
-        depth, rgb = synthetic.render(scene, pose)
-        # NOTE: the synthetic renderer uses f=595 (Kinect reference model).
         depth_png = np.clip(np.asarray(depth) / 1000.0 * TUM_DEPTH_SCALE,
                             0, 65535).astype(np.uint16)
         rgb_png = np.clip(np.asarray(rgb) * 255, 0, 255).astype(np.uint8)
@@ -180,9 +169,27 @@ def write_synthetic_sequence(root: str, n_frames: int = 5,
     for name, lines in [("rgb.txt", rgb_lines), ("depth.txt", depth_lines),
                         ("groundtruth.txt", gt_lines)]:
         with open(os.path.join(root, name), "w") as f:
-            f.write("# synthetic TUM-format sequence (icp_tpu)\n")
+            f.write("# TUM-format sequence written by icp_tpu\n")
             f.write("\n".join(lines) + "\n")
     return load_sequence(root)
+
+
+def write_synthetic_sequence(root: str, n_frames: int = 5,
+                             scene=None, poses=None) -> TumSequence:
+    """Render a synthetic sequence and write it in TUM format, for
+    pipeline tests without external data. Units: TUM meters in
+    groundtruth, 5000-scale depth PNGs.
+    """
+    from icp_tpu.sensors import synthetic
+
+    scene = scene if scene is not None else synthetic.default_scene()
+    if poses is None:
+        poses = synthetic.orbit_trajectory(n_frames, radius_mm=50.0,
+                                           yaw_rad=0.04)
+
+    # NOTE: the synthetic renderer uses f=595 (Kinect reference model).
+    frames = (synthetic.render(scene, pose) for pose in poses)
+    return write_sequence(root, frames, poses)
 
 
 def sequence_clouds(seq: TumSequence, **intrinsics):
