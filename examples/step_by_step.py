@@ -57,6 +57,10 @@ def main():
     ap.add_argument("--out-dir", default="/tmp/icp_tpu_sbs")
     ap.add_argument("--batch", type=int, default=0,
                     help="run N steps non-interactively")
+    ap.add_argument("--live", action="store_true",
+                    help="stream the registration view (GUI window with "
+                         "the reference's T/R/Q keys when a display "
+                         "exists, PNG frames under --out-dir otherwise)")
     args = ap.parse_args()
 
     from icp_tpu import ICPConfig, ICPParams
@@ -75,11 +79,28 @@ def main():
         write_ply(os.path.join(args.out_dir, f"registered_{tag}.ply"),
                   np.asarray(app.transformed_cloud()))
 
+    viewer = None
+    if args.live:
+        from icp_tpu.viz import LiveViewer
+
+        viewer = LiveViewer(out_dir=args.out_dir)
+        viewer.attach(app)
+        if viewer.interactive and not args.batch:
+            print("live view: T/<Enter> step | R reset | Q quit "
+                  "(reference key map)")
+            viewer.loop()
+            dump("final")
+            return
+
+    def one_step():
+        viewer.step() if viewer is not None else app.step()
+
     if args.batch:
         for _ in range(args.batch):
-            app.step()
+            one_step()
         dump(f"k{int(app.state.k)}")
-        print(f"PLY written to {args.out_dir}")
+        print(f"PLY written to {args.out_dir}"
+              + (f"; {viewer.frame} live frames" if viewer else ""))
         return
 
     print("T=<Enter> step | R reset | Q quit   (reference key map)")
@@ -89,9 +110,9 @@ def main():
         except EOFError:
             break
         if cmd in ("", "t"):
-            app.step()
+            one_step()
         elif cmd == "r":
-            app.reset()
+            (viewer.reset() if viewer is not None else app.reset())
             print("reset")
         elif cmd == "q":
             break

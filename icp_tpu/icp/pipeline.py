@@ -58,8 +58,8 @@ class ICPStepByStep:
         self.config = config or ICPConfig()
         self.params = (params or ICPParams(alpha=2e2)).as_f32()
         self.moving_cloud = jnp.asarray(moving_cloud).reshape(-1, 8)
-        fixed_cloud = jnp.asarray(fixed_cloud).reshape(-1, 8)
-        self.fixed_lms = get_landmarks(fixed_cloud)
+        self.fixed_cloud = jnp.asarray(fixed_cloud).reshape(-1, 8)
+        self.fixed_lms = get_landmarks(self.fixed_cloud)
         self.moving_lms = get_landmarks(self.moving_cloud)
         self.state = identity_state()
         self._index = None

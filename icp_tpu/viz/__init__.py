@@ -7,6 +7,8 @@ for a TPU pod, so this module provides offline equivalents: PLY export
 registration before/after composites.
 """
 
+from icp_tpu.viz.live import LiveViewer
 from icp_tpu.viz.plot import plot_cloud, plot_registration, plot_trajectory
 
-__all__ = ["plot_cloud", "plot_registration", "plot_trajectory"]
+__all__ = ["LiveViewer", "plot_cloud", "plot_registration",
+           "plot_trajectory"]

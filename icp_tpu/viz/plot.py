@@ -12,9 +12,14 @@ import numpy as np
 
 
 def _plt():
+    import os
+
     import matplotlib
 
-    matplotlib.use("Agg")
+    # Headless (every pod): force Agg. With a display or an explicit
+    # backend choice, leave it interactive for viz.live.LiveViewer.
+    if not os.environ.get("DISPLAY") and not os.environ.get("MPLBACKEND"):
+        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     return plt

@@ -44,3 +44,37 @@ def test_plot_cloud_skips_invalid(tmp_path, rng):
     p = str(tmp_path / "c2.png")
     plot_cloud(cloud, p)
     assert _is_png(p)
+
+def test_live_viewer_headless_stream(tmp_path, rng):
+    """LiveViewer on Agg: frames stream to PNG files; attach() + step()
+    drive a real ICPStepByStep (the reference's T key)."""
+    import jax.numpy as jnp
+
+    from icp_tpu import ICPConfig, ICPParams
+    from icp_tpu.icp.pipeline import ICPStepByStep
+    from icp_tpu.sensors import synthetic
+    from icp_tpu.viz import LiveViewer
+
+    scene = synthetic.default_scene()
+    a = synthetic.render_cloud(scene, synthetic.CameraPose.identity())
+    q = np.array([0, 0.004, 0, 1.0], np.float32)
+    q /= np.linalg.norm(q)
+    b_pose = synthetic.CameraPose(
+        jnp.asarray(q), jnp.asarray(np.array([8.0, -4.0, 3.0], np.float32)))
+    b = synthetic.render_cloud(scene, b_pose)
+
+    app = ICPStepByStep(a, b, ICPParams(alpha=2e2),
+                        ICPConfig(estimate_scale=False))
+    out = str(tmp_path / "live")
+    v = LiveViewer(out_dir=out, max_points=500)
+    assert not v.interactive  # Agg in tests
+    v.attach(app)
+    v.step()
+    v.step()
+    v.close()
+    import os
+
+    frames = sorted(os.listdir(out))
+    assert frames == ["frame_0000.png", "frame_0001.png", "frame_0002.png"]
+    assert _is_png(os.path.join(out, frames[-1]))
+    assert int(app.state.k) == 2  # steps actually drove the registration
