@@ -59,6 +59,13 @@ def icp_run(moving8: jnp.ndarray, target: Union[RBCIndex, jnp.ndarray],
     def body(s: ICPState):
         return icp_step(s, moving8, target, params, config)
 
+    # NOTE (measured, do not resurrect without a same-session A/B): a
+    # warm-start grouping cache in the loop carry (skip the grouping
+    # sort + gathers via lax.cond when the rep assignments are unchanged)
+    # LOSES on hardware at both the flagship and 4x shapes (+9% / +58%
+    # per-iteration): the cond + big carried tables defeat XLA's buffer
+    # donation and pipeline overlap, costing more than the ~0.05-0.4 ms
+    # grouping it saves.
     return jax.lax.while_loop(cond, body, state)
 
 

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from icp_tpu.kernels.fused_step import dot3
+
 # Bins processed per grid step: amortizes grid/dispatch overhead while
 # keeping VMEM usage ~1-2 MB per step at cq = cb = 128.
 DEFAULT_BIN_BATCH = 32
@@ -48,14 +50,13 @@ def _bin_search_kernel(qg_w_ref, bins_c_ref, sq_b_ref, vals_ref,
     qg_w = qg_w_ref[:]
     bins_c = bins_c_ref[:]
 
-    # (BB, cq, cb) scores on the MXU; full-f32 passes (bf16 would break the
-    # NN ordering of the cancelled quadratic expansion).
-    cross = jax.lax.dot_general(
-        qg_w, bins_c,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    # (BB, cq, cb) scores on the MXU at bf16x3 (see fused_step.dot3): error
+    # at the f32 ulp level for these centered-offset magnitudes — a SINGLE
+    # bf16 pass would break the NN ordering of the cancelled quadratic
+    # expansion, but 3 passes keep it, and this K=8 contraction runs at
+    # 1/16 MXU utilization where pass count is the entire cost (HIGHEST's
+    # 6 passes measured ~2x slower at the 4x workload).
+    cross = dot3(qg_w, bins_c, (((2,), (2,)), ((0,), (0,))))
     scores = sq_b_ref[:][:, None, :] - 2.0 * cross
 
     best_slot = jnp.argmin(scores, axis=-1)  # (BB, cq)

@@ -71,6 +71,61 @@ DEFAULT_BIN_BATCH = 32
 _HI = jax.lax.Precision.HIGHEST
 
 
+def dot3(a: jnp.ndarray, b: jnp.ndarray, dims) -> jnp.ndarray:
+    """bf16x3 matmul (the classic 3-pass f32 emulation) for SCORE tensors.
+
+    Score matmuls (rep assignment, per-bin cross terms) feed an ARGMIN,
+    not the moment accumulation, so bf16x3 — whose error sits at the f32
+    ulp level for these centered-offset magnitudes — is plenty; a single
+    bf16 pass would NOT be (it would scramble the NN ordering of the
+    cancelled quadratic expansion). These are K=8 contractions at 1/16 MXU
+    utilization where pass count is the entire cost: HIGHEST (bf16x6)
+    measured ~2x slower at the 4x workload for zero extra argmin fidelity.
+    Mosaic does not lower ``Precision.HIGH``, hence the explicit split:
+    a = a_hi + a_lo exactly (bf16 round-to-nearest), and the a_lo x b_lo
+    term (~2^-32 relative) is dropped.
+    """
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def f(x, y):
+        return jax.lax.dot_general(x, y, dims,
+                                   preferred_element_type=jnp.float32)
+
+    return f(a_hi, b_hi) + f(a_hi, b_lo) + f(a_lo, b_hi)
+
+
+def _auto_block_m(m: int, n_r: int) -> int:
+    """Largest power-of-two block (<= DEFAULT_BLOCK_M) dividing m whose
+    (block_m, n_r) f32 score tensor stays within ~2 MB of VMEM — at the
+    flagship n_r=256 this is the measured-good 2048; at n_r=1024 an 8 MB
+    score block leaves Mosaic no double-buffering headroom (and the 4x
+    workload profile showed it serializing)."""
+    bm = DEFAULT_BLOCK_M
+    limit = max(128, (2 * 1024 * 1024) // (n_r * 4))
+    while bm > 128 and (bm > limit or m % bm != 0):
+        bm //= 2
+    return max(bm, 1) if m % max(bm, 1) == 0 else m
+
+
+def _auto_bin_batch(n_r: int, cq: int, cb: int) -> int:
+    """Largest power-of-two bin batch (<= DEFAULT_BIN_BATCH) dividing n_r
+    that keeps the kernel's Mosaic stack + the (n_r, 8, 8) output (which
+    XLA may pin in VMEM, padded to (n_r, 8, 128)) under the 16 MB scoped
+    limit. Anchored on measurement: bin_batch=32 at cq=cb=128 allocates a
+    ~13.8 MB stack (~28 B per bin-slot-pair); n_r=1024 OOMed at 17.84 MB
+    with the same batch because its output pad is 4 MB."""
+    out_bytes = n_r * 8 * 128 * 4
+    budget = 15 * 1024 * 1024 - out_bytes
+    per_bin = 28 * cq * cb
+    bb = DEFAULT_BIN_BATCH
+    while bb > 1 and (bb * per_bin > budget or n_r % bb != 0):
+        bb //= 2
+    return bb
+
+
 # ---------------------------------------------------------------------------
 # Precomputation (tiny XLA ops; everything the kernels need as constants)
 # ---------------------------------------------------------------------------
@@ -133,24 +188,28 @@ def _rep_assign_kernel(p_ref, c_ref, srow_ref, out_ref):
     p_ref: (BM, 8) raw moving rows; c_ref: (8, n_r); srow_ref: (1, n_r);
     out_ref: (1, BM) int32 nearest-representative ids.
     """
-    scores = srow_ref[:] - 2.0 * jnp.dot(p_ref[:], c_ref[:], precision=_HI)
+    scores = srow_ref[:] - 2.0 * dot3(p_ref[:], c_ref[:],
+                                      (((1,), (0,)), ((), ())))
     out_ref[:] = jnp.argmin(scores, axis=1).astype(jnp.int32)[None, :]
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "interpret"))
 def rep_assign_pallas(moving8: jnp.ndarray, C: jnp.ndarray,
-                      srow: jnp.ndarray, *, block_m: int = DEFAULT_BLOCK_M,
+                      srow: jnp.ndarray, *, block_m: int = 0,
                       interpret: bool = False) -> jnp.ndarray:
     """Fused transform + query->representative argmin.
 
     Args:
       moving8: (m, 8) RAW moving landmarks (transform is folded into C).
       C, srow: from :func:`prep_rep_assign`.
+      block_m: queries per grid step (0 = VMEM-aware auto).
     Returns:
       (m,) int32 nearest-representative id per query.
     """
     m, d = moving8.shape
     n_r = C.shape[1]
+    if block_m == 0:
+        block_m = _auto_block_m(m, n_r)
     block_m = min(block_m, m)
     assert m % block_m == 0, (m, block_m)
     grid = (m // block_m,)
@@ -185,7 +244,7 @@ def rep_assign_pallas(moving8: jnp.ndarray, C: jnp.ndarray,
 def rep_assign_ref(moving8: jnp.ndarray, C: jnp.ndarray,
                    srow: jnp.ndarray) -> jnp.ndarray:
     """Plain-XLA twin of :func:`rep_assign_pallas` (CPU path / golden)."""
-    scores = srow - 2.0 * jnp.dot(moving8, C, precision=_HI)
+    scores = srow - 2.0 * dot3(moving8, C, (((1,), (0,)), ((), ())))
     return jnp.argmin(scores, axis=1).astype(jnp.int32)
 
 
@@ -224,8 +283,7 @@ def _moment_math(p, qvalid, reps_blk, bins_c, sq_b, G, b_row, alpha,
     sq_q = jnp.sum(qg_w * qc, axis=-1)  # (BB, cq)
 
     # Bin scores on the MXU; +inf rides in sq_b for invalid slots.
-    cross = jax.lax.dot_general(qg_w, bins_c,
-                                (((2,), (2,)), ((0,), (0,))), precision=_HI)
+    cross = dot3(qg_w, bins_c, (((2,), (2,)), ((0,), (0,))))
     scores = sq_b[:, None, :] - 2.0 * cross
     best_slot = jnp.argmin(scores, axis=-1)  # (BB, cq)
     best_score = jnp.min(scores, axis=-1)
@@ -279,7 +337,7 @@ def bin_point_moments_pallas(mg: jnp.ndarray, qvalid: jnp.ndarray,
                              reps: jnp.ndarray, bins_c: jnp.ndarray,
                              sq_b_masked: jnp.ndarray, G: jnp.ndarray,
                              b_row: jnp.ndarray, alpha, *, weighted: bool,
-                             bin_batch: int = DEFAULT_BIN_BATCH,
+                             bin_batch: int = 0,
                              interpret: bool = False) -> jnp.ndarray:
     """Fused per-bin search + weighting + 8x8 moment reduction.
 
@@ -292,12 +350,15 @@ def bin_point_moments_pallas(mg: jnp.ndarray, qvalid: jnp.ndarray,
       G, b_row: from :func:`prep_similarity`.
       alpha: photometric blend (traced scalar).
       weighted: reference WEIGHTED vs REGULAR residual weighting.
+      bin_batch: bins per grid step (0 = VMEM-aware auto).
     Returns:
       (n_r, 8, 8) per-bin weighted second-moment matrices P_b in the
       rep-centered frame (see module docstring for the lane layout).
     """
     n_r, cq, d = mg.shape
     cb = bins_c.shape[1]
+    if bin_batch == 0:
+        bin_batch = _auto_bin_batch(n_r, cq, cb)
     bin_batch = min(bin_batch, n_r)
     assert n_r % bin_batch == 0, (n_r, bin_batch)
     grid = (n_r // bin_batch,)

@@ -100,9 +100,12 @@ def bin_phase2(bins: jnp.ndarray, bins_centered: jnp.ndarray,
                                     matched_vals.dtype))
         return best_score, matched_g, matched_n
 
-    cross = jnp.einsum("rqd,rcd->rqc", qg_w, bins_centered,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+    # Same bf16x3 score computation as the kernel (fused_step.dot3) so the
+    # two paths make IDENTICAL argmin decisions — near-ties would otherwise
+    # pick different (equally valid) neighbors and break bitwise parity.
+    from icp_tpu.kernels.fused_step import dot3
+
+    cross = dot3(qg_w, bins_centered, (((2,), (2,)), ((0,), (0,))))
     # Per query the argmin only needs |b|^2 - 2 q.b (sq_q is a row
     # constant), and sq_b_masked carries +inf on invalid slots — one fused
     # pass over the (n_b, cq, cb) tensor instead of three.
@@ -175,6 +178,57 @@ def rbc_search_grouped(index: RBCIndex, queries: jnp.ndarray, alpha,
     )
 
 
+def rbc_point_assign(index: RBCIndex, moving8: jnp.ndarray,
+                     q: jnp.ndarray, t: jnp.ndarray, s: jnp.ndarray,
+                     alpha, *, use_pallas: bool, interpret: bool = False):
+    """Fused transform + nearest-representative assignment (phase 1 of the
+    fused POINT pipeline; kernels.fused_step.rep_assign_*).
+
+    Returns (rid (m,) int32, G (8, 8), b_row (1, 8)) — the similarity
+    factors are returned so the moments phase reuses them.
+    """
+    from icp_tpu.kernels.fused_step import (
+        prep_rep_assign,
+        prep_similarity,
+        rep_assign_pallas,
+        rep_assign_ref,
+    )
+
+    G, b_row = prep_similarity(q, t, s)
+    C, srow = prep_rep_assign(index.reps, alpha, G, b_row)
+    if use_pallas:
+        rid = rep_assign_pallas(moving8, C, srow, interpret=interpret)
+    else:
+        rid = rep_assign_ref(moving8, C, srow)
+    return rid, G, b_row
+
+
+def rbc_point_moments_grouped(index: RBCIndex, mg: jnp.ndarray,
+                              qvalid: jnp.ndarray, G: jnp.ndarray,
+                              b_row: jnp.ndarray, alpha, c, *,
+                              weighted: bool, use_pallas: bool,
+                              interpret: bool = False):
+    """Phase 2 of the fused POINT pipeline: per-bin search + weighting +
+    8x8 moment reduction over an ALREADY-grouped query table (so callers
+    that cache the grouping — warm start — can skip the sort/gathers).
+    """
+    from icp_tpu.kernels.fused_step import (
+        bin_point_moments_pallas,
+        bin_point_moments_ref,
+        point_moments_from_P,
+    )
+
+    if use_pallas:
+        P = bin_point_moments_pallas(
+            mg, qvalid, index.reps, index.bins_centered, index.sq_b_masked,
+            G, b_row, alpha, weighted=weighted, interpret=interpret)
+    else:
+        P = bin_point_moments_ref(
+            mg, qvalid, index.reps, index.bins_centered, index.sq_b_masked,
+            G, b_row, alpha, weighted=weighted)
+    return point_moments_from_P(P, index.reps, c)
+
+
 def rbc_point_moments(index: RBCIndex, moving8: jnp.ndarray,
                       q: jnp.ndarray, t: jnp.ndarray, s: jnp.ndarray,
                       alpha, c, query_capacity: int, *, weighted: bool,
@@ -198,37 +252,17 @@ def rbc_point_moments(index: RBCIndex, moving8: jnp.ndarray,
       (S11 (11,) in the icpSijProducts layout (c applied),
        mean_f (3,), mean_m (3,), sum_w scalar).
     """
-    from icp_tpu.kernels.fused_step import (
-        bin_point_moments_pallas,
-        bin_point_moments_ref,
-        point_moments_from_P,
-        prep_rep_assign,
-        prep_similarity,
-        rep_assign_pallas,
-        rep_assign_ref,
-    )
-
     n_r = index.reps.shape[0]
-    G, b_row = prep_similarity(q, t, s)
-    C, srow = prep_rep_assign(index.reps, alpha, G, b_row)
-    if use_pallas:
-        rid = rep_assign_pallas(moving8, C, srow, interpret=interpret)
-    else:
-        rid = rep_assign_ref(moving8, C, srow)
-
+    rid, G, b_row = rbc_point_assign(index, moving8, q, t, s, alpha,
+                                     use_pallas=use_pallas,
+                                     interpret=interpret)
     glayout = group_rows_by_bin(rid, n_r, query_capacity, (moving8,))
     (mg,) = glayout.grouped
     qvalid = glayout.valid.astype(moving8.dtype)
-
-    if use_pallas:
-        P = bin_point_moments_pallas(
-            mg, qvalid, index.reps, index.bins_centered, index.sq_b_masked,
-            G, b_row, alpha, weighted=weighted, interpret=interpret)
-    else:
-        P = bin_point_moments_ref(
-            mg, qvalid, index.reps, index.bins_centered, index.sq_b_masked,
-            G, b_row, alpha, weighted=weighted)
-    return point_moments_from_P(P, index.reps, c)
+    return rbc_point_moments_grouped(index, mg, qvalid, G, b_row, alpha, c,
+                                     weighted=weighted,
+                                     use_pallas=use_pallas,
+                                     interpret=interpret)
 
 
 class SearchResult(NamedTuple):
