@@ -33,6 +33,20 @@ from icp_tpu.kernels.fused_step import dot3
 DEFAULT_BIN_BATCH = 32
 
 
+def _auto_bin_batch(n_r: int, cq: int, cb: int, v: int) -> int:
+    """Largest power-of-two bin batch (<= DEFAULT_BIN_BATCH) dividing n_r
+    whose Mosaic stack stays under the 16 MB scoped-VMEM limit. Anchored
+    on measurement: bin_batch=32 at cq=cb=128, v=12 allocates 18.56 MB
+    (~34 B per bin-slot-pair for the dot3 splits + score/one-hot
+    temporaries, plus the payload gather)."""
+    per_bin = 34 * cq * cb + 16 * cb * v
+    budget = 15 * 1024 * 1024
+    bb = DEFAULT_BIN_BATCH
+    while bb > 1 and (bb * per_bin > budget or n_r % bb != 0):
+        bb //= 2
+    return bb
+
+
 def _bin_search_kernel(qg_w_ref, bins_c_ref, sq_b_ref, vals_ref,
                        score_ref, matched_ref):
     """One grid step: BB bins of the grouped search, fully in VMEM.
@@ -83,7 +97,7 @@ def _bin_search_kernel(qg_w_ref, bins_c_ref, sq_b_ref, vals_ref,
 @functools.partial(jax.jit, static_argnames=("bin_batch", "interpret"))
 def bin_search_pallas(qg_w: jnp.ndarray, bins_c: jnp.ndarray,
                       sq_b_masked: jnp.ndarray, vals: jnp.ndarray,
-                      *, bin_batch: int = DEFAULT_BIN_BATCH,
+                      *, bin_batch: int = 0,
                       interpret: bool = False):
     """Fused grouped bin search.
 
@@ -94,7 +108,7 @@ def bin_search_pallas(qg_w: jnp.ndarray, bins_c: jnp.ndarray,
       vals: (n_r, cb, V) per-point payload returned for the winner — the raw
         bin points (V = 8), optionally concatenated with surface normals for
         the point-to-plane objective.
-      bin_batch: bins per grid step (must divide n_r).
+      bin_batch: bins per grid step (0 = VMEM-aware auto; must divide n_r).
       interpret: run in the Pallas interpreter (CPU tests).
     Returns:
       (best_score (n_r, cq), matched (n_r, cq, V)).
@@ -102,6 +116,8 @@ def bin_search_pallas(qg_w: jnp.ndarray, bins_c: jnp.ndarray,
     n_r, cq, d = qg_w.shape
     cb = bins_c.shape[1]
     v = vals.shape[2]
+    if bin_batch == 0:
+        bin_batch = _auto_bin_batch(n_r, cq, cb, v)
     bin_batch = min(bin_batch, n_r)
     assert n_r % bin_batch == 0, (n_r, bin_batch)
     grid = (n_r // bin_batch,)

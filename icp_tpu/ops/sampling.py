@@ -34,9 +34,10 @@ def get_landmarks(cloud8: jnp.ndarray) -> jnp.ndarray:
       (16384, 8) landmarks in row-major 128x128 grid order.
     """
     img = cloud8.reshape(IMAGE_HEIGHT, IMAGE_WIDTH, 8)
-    rows = 48 + 3 * jnp.arange(LM_GRID) + 1
-    cols = 64 + 4 * jnp.arange(LM_GRID) + 1
-    lms = img[rows[:, None], cols[None, :]]  # (128, 128, 8)
+    # Static STRIDED SLICE, not an advanced-index gather: rows 49+3r,
+    # cols 65+4l. The index-array form lowers as a general 16k-row gather
+    # (~92 us on a v5e); the slice is a strided DMA (~a few us).
+    lms = img[49:49 + 3 * LM_GRID:3, 65:65 + 4 * LM_GRID:4]  # (128, 128, 8)
     return lms.reshape(LM_GRID * LM_GRID, 8)
 
 
@@ -58,9 +59,11 @@ def get_representatives(landmarks8: jnp.ndarray, n_ry: int, n_rx: int) -> jnp.nd
     grid = landmarks8.reshape(LM_GRID, LM_GRID, 8)
     step_x = LM_GRID // n_rx
     step_y = LM_GRID // n_ry
-    ys = jnp.arange(n_ry) * step_y + (step_y // 2) - 1
-    xs = jnp.arange(n_rx) * step_x + (step_x // 2) - 1
-    reps = grid[ys[:, None], xs[None, :]]
+    y0 = (step_y // 2) - 1
+    x0 = (step_x // 2) - 1
+    # Static strided slice (see get_landmarks): exact same indices as the
+    # reference's ys/xs arrays, minus the gather.
+    reps = grid[y0:y0 + n_ry * step_y:step_y, x0:x0 + n_rx * step_x:step_x]
     return reps.reshape(n_ry * n_rx, 8)
 
 
