@@ -130,4 +130,17 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # The tunneled dev chip's compile/dispatch relay occasionally throws
+    # transient HTTP 500s (one observed per ~50 dispatches on bad days).
+    # One retry protects the driver's end-of-round capture; a genuine
+    # failure still surfaces on the second attempt.
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 - transient relay errors only
+        import sys
+        import traceback
+
+        traceback.print_exc()
+        print("bench: transient failure, retrying once", file=sys.stderr)
+        time.sleep(10)
+        main()
