@@ -21,6 +21,41 @@ import jax
 import jax.numpy as jnp
 
 
+# group_by_bin only: below this many (n_bins * n) compare-ops the dense
+# equality-reduce wins (pure VPU work, no extra sort); above it paying one
+# extra jnp.sort for the O(n_bins log n) searchsorted path wins. NOTE this
+# gate does NOT apply to bin_sort_layout — there the sorted keys are a free
+# byproduct of the layout sort and searchsorted wins at every measured
+# shape (benchmarks/profile_counts.py, interleaved A/B on a v5e:
+# -7.2% full-iteration at 16384x256, -4.0% at 65536x1024).
+_DENSE_COUNTS_MAX_OPS = 2 ** 24
+
+# Benchmark-only escape hatch: False re-enables the dense equality-reduce
+# counts in bin_sort_layout so benchmarks/profile_counts.py can A/B the two.
+_LAYOUT_COUNTS_SORTED = True
+
+
+def _counts_dense(bin_ids: jnp.ndarray, n_bins: int) -> jnp.ndarray:
+    """Counts via an (n_bins, n) equality reduce — no gathers, no scatter."""
+    return jnp.sum(
+        (bin_ids[None, :] == jnp.arange(n_bins, dtype=bin_ids.dtype)[:, None])
+        .astype(jnp.int32),
+        axis=1,
+    )
+
+
+def _counts_from_sorted(sorted_bins: jnp.ndarray, n_bins: int) -> jnp.ndarray:
+    """Counts via searchsorted over bin ids already in sorted order —
+    O(n_bins log n), the winner when n_bins * n is large."""
+    n = sorted_bins.shape[0]
+    starts = jnp.searchsorted(
+        sorted_bins, jnp.arange(n_bins, dtype=sorted_bins.dtype), side="left"
+    ).astype(jnp.int32)
+    ends = jnp.concatenate(
+        [starts[1:], jnp.full((1,), n, jnp.int32)])
+    return ends - starts
+
+
 class GroupLayout(NamedTuple):
     """Bin-major layout of a point set grouped by bin id.
 
@@ -57,14 +92,13 @@ def group_by_bin(bin_ids: jnp.ndarray, n_bins: int, capacity: int) -> GroupLayou
     """
     n = bin_ids.shape[0]
     order = jnp.argsort(bin_ids, stable=True).astype(jnp.int32)
-    # Counts via an (n_bins, n) equality reduce — pure VPU work (~4M bool
-    # ops at the flagship shape), vs ~0.2 ms for searchsorted + the
-    # sorted-keys gather it needs. No scatter, no sorted_ids materialized.
-    counts = jnp.sum(
-        (bin_ids[None, :] == jnp.arange(n_bins, dtype=bin_ids.dtype)[:, None])
-        .astype(jnp.int32),
-        axis=1,
-    )
+    # Counts: dense equality reduce at small n_bins*n (pure VPU work, ~4M
+    # bool ops at the flagship shape, cheaper than materializing sorted
+    # keys), searchsorted over a sorted copy when the dense product blows up.
+    if n_bins * n <= _DENSE_COUNTS_MAX_OPS:
+        counts = _counts_dense(bin_ids, n_bins)
+    else:
+        counts = _counts_from_sorted(jnp.sort(bin_ids), n_bins)
     cum = jnp.cumsum(counts)
     offsets = (cum - counts).astype(jnp.int32)
 
@@ -110,15 +144,21 @@ def bin_sort_layout(bin_ids: jnp.ndarray, n_bins: int, capacity: int):
     if n_bins * n < 2 ** 31:
         key = bin_ids * jnp.int32(n) + iota
         skey = jax.lax.sort(key)
-        sidx = skey - (skey // n) * n
+        sbin = skey // n
+        sidx = skey - sbin * n
     else:
-        _, sidx = jax.lax.sort((bin_ids, iota), num_keys=1, is_stable=True)
+        sbin, sidx = jax.lax.sort((bin_ids, iota), num_keys=1, is_stable=True)
 
-    counts = jnp.sum(
-        (bin_ids[None, :] == jnp.arange(n_bins, dtype=bin_ids.dtype)[:, None])
-        .astype(jnp.int32),
-        axis=1,
-    )
+    # Counts via searchsorted over the sorted bins — a free byproduct of
+    # the layout sort, so unlike group_by_bin there is no dense/sparse
+    # trade-off here: measured faster than the (n_bins, n) equality reduce
+    # at every shape (-7.2% full-iteration at the flagship 256x16384,
+    # -4.0% at 1024x65536; benchmarks/profile_counts.py). The module flag
+    # exists only so that A/B harness can re-measure the dense variant.
+    if _LAYOUT_COUNTS_SORTED:
+        counts = _counts_from_sorted(sbin, n_bins)
+    else:
+        counts = _counts_dense(bin_ids, n_bins)
     cum = jnp.cumsum(counts)
     offsets = (cum - counts).astype(jnp.int32)
     valid = jnp.arange(capacity, dtype=jnp.int32)[None, :] < counts[:, None]

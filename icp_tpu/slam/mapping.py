@@ -71,8 +71,20 @@ class SlamEngine:
                  loop_config: LoopClosureConfig = LoopClosureConfig(),
                  use_pyramid: bool = False,
                  pyramid_strides: tuple = (4, 2, 1),
-                 dispatch_retries: int = 0):
+                 dispatch_retries: int = 0,
+                 incremental_optimize: bool = False,
+                 incremental_iterations: int = 3):
         """Args of note:
+          incremental_optimize: iSAM-style incremental smoothing — run
+            ``incremental_iterations`` warm-started Gauss-Newton iterations
+            of the pose-graph backend immediately after every accepted loop
+            closure, instead of deferring all correction to a final
+            ``optimize_map``. Each update starts from the current pose
+            estimates (the previous update's output), so the per-closure
+            cost stays small and the trajectory never drifts far from the
+            smoothed solution. Graph shapes are padded (nodes to powers of
+            two, edges to multiples of 64) so device recompiles stay
+            O(log K) over a session.
           use_pyramid: run frame-to-frame registrations coarse-to-fine
             (icp_tpu.icp.pyramid) — wider convergence basin for fast motion
             / dropped frames, at ~1.3x the per-frame cost. Loop-closure
@@ -92,6 +104,9 @@ class SlamEngine:
         self.use_pyramid = use_pyramid
         self.pyramid_strides = pyramid_strides
         self.dispatch_retries = dispatch_retries
+        self.incremental_optimize = incremental_optimize
+        self.incremental_iterations = incremental_iterations
+        self.n_incremental_updates = 0  # diagnostic
         self.map = SlamMap()
         self.trajectory: List[se3.Pose] = []
         self._prev_lms: Optional[jnp.ndarray] = None
@@ -257,6 +272,7 @@ class SlamEngine:
         ks = np.asarray(states.k)
         qs = np.asarray(states.q)
         ts = np.asarray(states.t)
+        accepted = 0
         for i, j in enumerate(cand):
             # Accept when ICP converged within the budget (non-convergent
             # registrations are unreliable matches).
@@ -268,6 +284,10 @@ class SlamEngine:
             # Loop closures weighted above odometry links.
             self.map.weights.append(4.0)
             self.map.loop_closures.append((j, kf_idx))
+            accepted += 1
+        if accepted and self.incremental_optimize \
+                and len(self.map.keyframes) >= 2:
+            self._incremental_update()
 
     # -- backend ------------------------------------------------------------
 
@@ -295,14 +315,18 @@ class SlamEngine:
                 optimize_pcg(graph, iterations=iterations))
         else:
             out = jax.block_until_ready(optimize(graph, iterations=iterations))
-        # Re-anchor the full trajectory: every frame between keyframe k and
-        # the next inherits k's world-frame correction
-        # corr_k = refined_k o old_k^-1, so ATE reporting, checkpoints, and
-        # odometry resume all see the optimized poses (keyframe frames land
-        # exactly on their refined pose).
+        self._apply_refined(out.q, out.t)
+        return out
+
+    def _apply_refined(self, out_q, out_t) -> None:
+        """Write refined keyframe poses back and re-anchor the trajectory:
+        every frame between keyframe k and the next inherits k's world-frame
+        correction corr_k = refined_k o old_k^-1, so ATE reporting,
+        checkpoints, and odometry resume all see the optimized poses
+        (keyframe frames land exactly on their refined pose)."""
         corrections = []
         for i, kf in enumerate(self.map.keyframes):
-            refined = se3.Pose(out.q[i], out.t[i])
+            refined = se3.Pose(out_q[i], out_t[i])
             corrections.append(se3.compose(refined, se3.inverse(kf.pose)))
             kf.pose = refined
         kf_frames = [kf.index for kf in self.map.keyframes]
@@ -314,4 +338,29 @@ class SlamEngine:
                 self.trajectory[f] = se3.compose(corrections[ki],
                                                  self.trajectory[f])
         self._rebuild_grid()  # keyframe positions moved
-        return out
+
+    def _incremental_update(self) -> None:
+        """A few warm-started GN iterations right after an accepted loop
+        closure (iSAM-style incremental smoothing). Padded graph shapes
+        bound recompiles; padded nodes/edges provably contribute nothing
+        (pose_graph.pad_nodes / pad_edges)."""
+        from icp_tpu.slam.pose_graph import pad_edges, pad_nodes
+
+        k = len(self.map.keyframes)
+        graph = graph_from_poses(
+            [kf.pose.q for kf in self.map.keyframes],
+            [kf.pose.t for kf in self.map.keyframes],
+            self.map.edges, self.map.measurements,
+            np.asarray(self.map.weights, np.float32))
+        n_pad = 1 << max(1, (k - 1).bit_length())
+        graph = pad_edges(pad_nodes(graph, n_pad), 64)
+        if graph.q.shape[0] > 512:
+            from icp_tpu.slam.pose_graph import optimize_pcg
+
+            out = jax.block_until_ready(optimize_pcg(
+                graph, iterations=self.incremental_iterations))
+        else:
+            out = jax.block_until_ready(optimize(
+                graph, iterations=self.incremental_iterations))
+        self._apply_refined(out.q[:k], out.t[:k])
+        self.n_incremental_updates += 1

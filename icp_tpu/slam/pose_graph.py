@@ -291,6 +291,23 @@ def pad_edges(graph: PoseGraph, multiple: int) -> PoseGraph:
     )
 
 
+def pad_nodes(graph: PoseGraph, multiple: int) -> PoseGraph:
+    """Pad the node arrays to a multiple with identity poses touched by no
+    edge — their normal-equation block is damping-only, so their update is
+    exactly zero and the solve over real nodes is unaffected. Bounds jit
+    recompiles of the optimizers to one graph per padded size (the
+    incremental-smoothing path calls the optimizer once per loop closure)."""
+    n = graph.q.shape[0]
+    target = ((n + multiple - 1) // multiple) * multiple
+    pad = target - n
+    if pad == 0:
+        return graph
+    iq = jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0], graph.q.dtype), (pad, 1))
+    it = jnp.zeros((pad, 3), graph.t.dtype)
+    return graph._replace(q=jnp.concatenate([graph.q, iq]),
+                          t=jnp.concatenate([graph.t, it]))
+
+
 def make_sharded_optimize(mesh, n_nodes: int, iterations: int = 10,
                           damping: float = 1e-6, fix_first: bool = True):
     """Distributed pose-graph GN: EDGES sharded over dp (keyframe residuals

@@ -41,6 +41,38 @@ def test_grouping_invariants(rng):
     assert not np.asarray(overflow_mask(g, jnp.asarray(ids), 256)).any()
 
 
+def test_counts_paths_agree(rng, monkeypatch):
+    """group_by_bin's dense and sparse counts paths must both match
+    bincount; bin_sort_layout (always searchsorted) must agree too."""
+    from icp_tpu.rbc import grouping
+
+    ids = rng.integers(0, 16, 1000).astype(np.int32)
+    ids[ids == 7] = 3  # an empty bin exercises the zero-count edge
+    expect = np.bincount(ids, minlength=16)
+    for threshold in (1 << 24, 0):  # dense path, then force the sparse path
+        monkeypatch.setattr(grouping, "_DENSE_COUNTS_MAX_OPS", threshold)
+        g = grouping.group_by_bin(jnp.asarray(ids), 16, 256)
+        np.testing.assert_array_equal(np.asarray(g.counts), expect)
+    _, counts, offsets, _ = grouping.bin_sort_layout(jnp.asarray(ids), 16, 256)
+    np.testing.assert_array_equal(np.asarray(counts), expect)
+    np.testing.assert_array_equal(np.asarray(offsets),
+                                  np.cumsum(expect) - expect)
+
+
+def test_counts_sparse_at_production_shape(rng):
+    """Above-threshold shape (1024 bins x 65536) takes the searchsorted
+    path for real — pin it to bincount."""
+    from icp_tpu.rbc.grouping import bin_sort_layout
+
+    ids = rng.integers(0, 1024, 65536).astype(np.int32)
+    sidx, counts, offsets, _ = bin_sort_layout(jnp.asarray(ids), 1024, 128)
+    expect = np.bincount(ids, minlength=1024)
+    np.testing.assert_array_equal(np.asarray(counts), expect)
+    np.testing.assert_array_equal(np.asarray(offsets),
+                                  np.cumsum(expect) - expect)
+    assert (ids[np.asarray(sidx)] == np.sort(ids)).all()
+
+
 def test_grouping_overflow_detection(rng):
     from icp_tpu.rbc.grouping import overflow_mask
     ids = np.zeros(100, np.int32)  # all in bin 0

@@ -55,6 +55,62 @@ def test_engine_tracks_and_closes_loop(rng):
         assert err < 20.0, err
 
 
+def test_engine_incremental_optimize(rng):
+    """iSAM-style mode: every accepted closure triggers a warm-started
+    incremental smoothing pass, so poses are already near-optimal without a
+    final batch optimize_map."""
+    scene = synthetic.default_scene()
+    poses = _loop_trajectory(5)
+    eng = SlamEngine(
+        ICPParams(alpha=2e2),
+        ICPConfig(estimate_scale=False, max_iterations=40),
+        policy=KeyframePolicy(max_gap=1),
+        loop_config=LoopClosureConfig(min_gap=3, max_distance=100.0),
+        incremental_optimize=True, incremental_iterations=5,
+    )
+    for p in poses:
+        eng.process_frame(synthetic.render_cloud(scene, p))
+    assert len(eng.map.loop_closures) >= 1
+    assert eng.n_incremental_updates >= 1
+    # Anchor stays fixed; poses already near ground truth WITHOUT a final
+    # batch optimize_map call.
+    assert float(jnp.linalg.norm(eng.map.keyframes[0].pose.t)) < 1e-3
+    for kf, gt in zip(eng.map.keyframes, poses):
+        err = np.linalg.norm(np.asarray(kf.pose.t) - np.asarray(gt.t))
+        assert err < 20.0, err
+    # Trajectory mirrors the keyframe poses (re-anchoring ran).
+    for kf in eng.map.keyframes:
+        np.testing.assert_allclose(np.asarray(eng.trajectory[kf.index].t),
+                                   np.asarray(kf.pose.t), atol=1e-4)
+
+
+def test_pad_nodes_is_inert(rng):
+    """Padded (edge-free identity) nodes must not change the solution for
+    the real nodes, and their own update must be ~zero."""
+    from icp_tpu.slam.pose_graph import (graph_from_poses, optimize,
+                                         pad_edges, pad_nodes)
+
+    qs, ts, edges, meas = [], [], [], []
+    q0 = jnp.asarray(np.array([0, 0, 0, 1], np.float32))
+    for i in range(5):
+        qs.append(q0)
+        ts.append(jnp.asarray(np.array([10.0 * i, 0, 0], np.float32)
+                              + rng.normal(0, 1.0, 3).astype(np.float32)))
+        if i > 0:
+            edges.append((i - 1, i))
+            meas.append(se3.Pose(q0, jnp.asarray(
+                np.array([10.0, 0, 0], np.float32))))
+    g = graph_from_poses(qs, ts, edges, meas)
+    out_plain = optimize(g, iterations=5)
+    out_pad = optimize(pad_edges(pad_nodes(g, 8), 16), iterations=5)
+    np.testing.assert_allclose(np.asarray(out_pad.t[:5]),
+                               np.asarray(out_plain.t), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out_pad.q[:5]),
+                               np.asarray(out_plain.q), atol=1e-5)
+    # padded nodes unchanged (identity in, identity out)
+    np.testing.assert_allclose(np.asarray(out_pad.t[5:]), 0.0, atol=1e-5)
+
+
 def test_engine_with_pyramid(rng):
     """Pyramid-enabled engine tracks a fast-motion trajectory that chains
     through the same API."""
