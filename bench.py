@@ -46,25 +46,38 @@ def main() -> None:
     fixed = jnp.asarray(fixed_np)
     moving = jnp.asarray(moving_np)
 
-    def timed(iters: int) -> float:
-        config = ICPConfig(max_iterations=iters)
+    configs = {k: ICPConfig(max_iterations=k) for k in (ITERS_HI, ITERS_LO)}
+    for k, config in configs.items():  # compile + warm both variants first
         state = jax.block_until_ready(register(fixed, moving, params, config))
-        assert int(state.k) == iters, (int(state.k), iters)
-        times = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            out = register(fixed, moving, params, config)
-            # Host read inside the timed region: on relay backends
-            # block_until_ready can return at enqueue for async chains; a
-            # scalar read drains the execution. Its constant RTT cancels in
-            # the (T_hi - T_lo) differencing.
-            assert int(out.k) == iters
-            times.append(time.perf_counter() - t0)
-        return min(times)
+        assert int(state.k) == k, (int(state.k), k)
 
-    t_hi = timed(ITERS_HI)
-    t_lo = timed(ITERS_LO)
-    per_iter_ms = (t_hi - t_lo) / (ITERS_HI - ITERS_LO) * 1e3
+    def run_once(k: int) -> float:
+        t0 = time.perf_counter()
+        out = register(fixed, moving, params, configs[k])
+        # Host read inside the timed region: on relay backends
+        # block_until_ready can return at enqueue for async chains; a
+        # scalar read drains the execution. Its constant RTT cancels in
+        # the (T_hi - T_lo) differencing.
+        assert int(out.k) == k
+        return time.perf_counter() - t0
+
+    # Drift-robust minima: the tunneled chip has multi-minute slow windows
+    # (~50% throughput observed), far longer than one 8-round measurement
+    # block (<1 s) — so blocks are SPREAD across the bench's whole runtime
+    # (between the accuracy gates below and across explicit pauses) and
+    # min T(hi) / min T(lo) are global across all blocks, both ending up
+    # sampled from the fastest window. Within a block hi/lo alternate so
+    # jitter hits both equally; the minima are taken SEPARATELY before
+    # differencing (min-of-differences flips negative under dispatch
+    # jitter — see benchmarks/bench_ab.py).
+    best = {ITERS_HI: float("inf"), ITERS_LO: float("inf")}
+
+    def measure_block(rounds: int = 8) -> None:
+        for _ in range(rounds):
+            for k in (ITERS_HI, ITERS_LO):
+                best[k] = min(best[k], run_once(k))
+
+    measure_block()
 
     # Accuracy gate on the SAME hardware: a rendered pair with known
     # ground truth must register to the expected bound (caught a real
@@ -93,9 +106,11 @@ def main() -> None:
 
     plane_ok, plane_t, plane_a = gate(
         ICPConfig(estimate_scale=False, objective=Objective.PLANE), 1.0, 0.05)
+    measure_block()
     # GICP: plane-to-plane Mahalanobis, same sub-mm class as PLANE.
     gicp_ok, gicp_t, gicp_a = gate(
         ICPConfig(estimate_scale=False, objective=Objective.GICP), 1.0, 0.05)
+    measure_block()
 
     # Pyramid gate: coarse-to-fine from a LARGE offset (outside the
     # single-level basin for fast motion) must still land on the truth.
@@ -113,6 +128,13 @@ def main() -> None:
     pyr_t = float(jnp.linalg.norm(stp.t - rel_c.t))
     pyr_a = float(qangle_deg(qmul(stp.q, qconj(rel_c.q))))
     pyramid_ok = bool(pyr_t < 2.0 and pyr_a < 0.1)
+
+    # Two more spread-out blocks; ~10 s apart, widening the sampled drift
+    # horizon to the whole bench runtime.
+    measure_block()
+    time.sleep(10)
+    measure_block()
+    per_iter_ms = (best[ITERS_HI] - best[ITERS_LO]) / (ITERS_HI - ITERS_LO) * 1e3
 
     print(json.dumps({
         "metric": "icp_iteration_ms_f16384_r256",
