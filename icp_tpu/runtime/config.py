@@ -102,7 +102,12 @@ class ICPConfig:
         idiom TPU static shapes require.
       query_capacity: static per-bin query capacity for the grouped RBC
         search. Queries overflowing their bin fall back to their nearest
-        representative (a real database point) as the match.
+        representative (a real database point) as the match. The default
+        1.5x mean occupancy drops ~1% of queries on the worst measured
+        scene (zero on the wall scene) with registration accuracy
+        unchanged, and the search kernel cost scales ~linearly with this
+        capacity (128 -> 96 measured -6% full iteration); raise it for
+        heavily skewed scenes.
       use_pallas: route the hot distance/argmin ops through Pallas kernels
         instead of plain XLA einsum/argmin. Auto-disabled when tracing for
         the CPU backend (tests), where the XLA path is identical semantics.
@@ -121,8 +126,8 @@ class ICPConfig:
     weighting: Weighting = Weighting.WEIGHTED
     correspondence: Correspondence = Correspondence.RBC
     max_iterations: int = 40
-    bin_capacity: int = 0  # 0 -> auto: 4 * m / n_r
-    query_capacity: int = 0  # 0 -> auto: 4 * m / n_r
+    bin_capacity: int = 0  # 0 -> auto: 2x mean occupancy, 128-lane rounded
+    query_capacity: int = 0  # 0 -> auto: 1.5x mean occupancy, 8-aligned
     use_pallas: bool = True
     estimate_scale: bool = True
     objective: Objective = Objective.POINT
@@ -146,17 +151,22 @@ class ICPConfig:
             raise ValueError("The sets of representatives cannot have zero points")
         if self.n_r % 4 != 0:
             raise ValueError("n_r must be a multiple of 4")  # ref cpp:845-854
-        # Default capacity: 2x mean occupancy, rounded up to the 128-lane
-        # TPU tile. Halving capacity halves the dominant HBM traffic of the
-        # bin search; the rep-fallback handles the rare overflow.
+        # Default bin capacity: 2x mean occupancy, rounded up to the
+        # 128-lane TPU tile (the DATABASE side is the lane dim of the score
+        # tensor, so sub-128 sizes just pad back to 128 in VMEM). Overflow
+        # drops database points from their bin (masked).
+        mean_occ = max(self.m // self.n_r, 4)
         if self.bin_capacity == 0:
-            mean_occ = max(self.m // self.n_r, 4)
             object.__setattr__(self, "bin_capacity",
                                max(((2 * mean_occ + 127) // 128) * 128, 16))
+        # Default query capacity: 1.5x mean occupancy, 8-aligned (the QUERY
+        # side is the sublane dim, so multiples of 8 tile exactly). Kernel
+        # cost is ~linear in this capacity; at 1.5x the overflow fallback
+        # hits ~1% of queries on the worst measured scene with registration
+        # accuracy unchanged (see the class docstring).
         if self.query_capacity == 0:
-            mean_occ = max(self.m // self.n_r, 4)
             object.__setattr__(self, "query_capacity",
-                               max(((2 * mean_occ + 127) // 128) * 128, 16))
+                               max(((3 * mean_occ // 2 + 7) // 8) * 8, 16))
 
     @property
     def needs_normals(self) -> bool:
