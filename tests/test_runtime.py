@@ -60,6 +60,45 @@ def test_metrics_log_registration():
             "icp.translation_mm", "icp.scale"} <= names
 
 
+def test_config_validation():
+    import pytest
+
+    from icp_tpu import ICPConfig
+
+    with pytest.raises(ValueError):
+        ICPConfig(m=0)  # ref: "cannot have zero points"
+    with pytest.raises(ValueError):
+        ICPConfig(n_r=0)
+    with pytest.raises(ValueError):
+        ICPConfig(n_r=6)  # ref cpp:845-854: n_r must be a multiple of 4
+
+
+def test_config_capacity_defaults():
+    """Pin the auto-capacity policy: bin = 2x mean occupancy rounded to the
+    128-lane tile (database side = lane dim), query = 1.5x mean occupancy,
+    8-aligned (query side = sublane dim). Measured trade-off documented in
+    ICPConfig; a silent change here moves both perf and the overflow rate."""
+    from icp_tpu import ICPConfig
+
+    flagship = ICPConfig()  # m=16384, n_r=256 -> mean occupancy 64
+    assert flagship.bin_capacity == 128
+    assert flagship.query_capacity == 96
+
+    big = ICPConfig(m=65536, n_r=1024)  # mean occupancy 64 again
+    assert big.bin_capacity == 128
+    assert big.query_capacity == 96
+
+    tiny = ICPConfig(m=64, n_r=16)  # mean occupancy floor (4) -> min 16
+    assert tiny.bin_capacity >= 16
+    assert tiny.query_capacity >= 16
+    assert tiny.query_capacity % 8 == 0
+
+    # Explicit values pass through untouched.
+    explicit = ICPConfig(bin_capacity=64, query_capacity=40)
+    assert explicit.bin_capacity == 64
+    assert explicit.query_capacity == 40
+
+
 def test_make_global_mesh_single_process():
     from icp_tpu.parallel.distributed import make_global_mesh
 
