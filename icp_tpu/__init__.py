@@ -23,6 +23,7 @@ from icp_tpu.runtime.config import (
     ICPConfig,
     ICPParams,
     Objective,
+    RobustKernel,
     RotationMode,
     Weighting,
     Correspondence,
@@ -39,6 +40,7 @@ __all__ = [
     "ICPConfig",
     "ICPParams",
     "Objective",
+    "RobustKernel",
     "RotationMode",
     "Weighting",
     "Correspondence",

@@ -31,6 +31,7 @@ from icp_tpu.ops.moments import (
     compute_weights,
     deviations,
     masked_weight_sum,
+    robust_factor,
     s_matrix,
 )
 from icp_tpu.rbc.construct import RBCIndex
@@ -130,7 +131,9 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
             target, moving8, state.q, state.t, state.s,
             params.alpha, params.c, config.query_capacity,
             weighted=config.weighting is Weighting.WEIGHTED,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas,
+            robust=config.robust.value,
+            robust_delta=params.robust_delta)
         qk, tk, sk = solve_step_transform(
             S11, mean_f, mean_m, mode=config.rotation.value,
             estimate_scale=config.estimate_scale)
@@ -180,9 +183,16 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
     )
     mask = pair_valid if mask is None else jnp.logical_and(mask, pair_valid)
 
-    # 3. Optional residual weighting (reference icpComputeReduceWeights).
-    if config.weighting is Weighting.WEIGHTED:
-        w = compute_weights(nn_dist)
+    # 3. Optional residual weighting (reference icpComputeReduceWeights),
+    # composed with the optional robust M-estimator factor (beyond-reference;
+    # runtime.config.RobustKernel).
+    robust = config.robust.value
+    if config.weighting is Weighting.WEIGHTED or robust != "none":
+        w = (compute_weights(nn_dist)
+             if config.weighting is Weighting.WEIGHTED
+             else jnp.ones_like(nn_dist))
+        if robust != "none":
+            w = w * robust_factor(nn_dist, robust, params.robust_delta)
         if mask is not None:
             w = jnp.where(mask, w, 0.0)
         sum_w = masked_weight_sum(w)

@@ -265,10 +265,12 @@ def _shift_0to3_into_4to7(dtype):
 
 
 def _moment_math(p, qvalid, reps_blk, bins_c, sq_b, G, b_row, alpha,
-                 weighted: bool):
+                 weighted: bool, robust: str = "none", delta=None):
     """Shared kernel/ref body. Shapes: p (BB, cq, 8), qvalid (BB, cq),
     reps_blk (BB, 8), bins_c (BB, cb, 8), sq_b (BB, cb), G (8, 8),
-    b_row (1, 8), alpha scalar. Returns P (BB, 8, 8)."""
+    b_row (1, 8), alpha scalar; robust/delta select and scale the optional
+    IRLS M-estimator factor (ops.moments.robust_factor). Returns P
+    (BB, 8, 8)."""
     lane = _lane_iota((1, 1, 8), 2)
     # Transform + per-bin rep centering as one matmul + offset:
     # qc = (p @ G + b_row) - rep  (homogeneous lanes become exactly 0).
@@ -306,11 +308,17 @@ def _moment_math(p, qvalid, reps_blk, bins_c, sq_b, G, b_row, alpha,
     mask03 = (lane < 3).astype(p.dtype)
     vo = (jnp.sum(jnp.abs(p) * mask03, axis=-1) > 0).astype(p.dtype)
     valid = qvalid * vo * jnp.isfinite(best_score).astype(p.dtype)
-    if weighted:
+    w = valid
+    if weighted or robust != "none":
+        # +inf on empty bins flows through every factor below as a clean 0
+        # (valid already zeroes those slots anyway).
         d2 = jnp.maximum(best_score + sq_q, 0.0)
-        w = valid * (100.0 / (100.0 + d2))  # reference icpComputeReduceWeights
-    else:
-        w = valid
+    if weighted:
+        w = w * (100.0 / (100.0 + d2))  # reference icpComputeReduceWeights
+    if robust != "none":
+        from icp_tpu.ops.moments import robust_factor
+
+        w = w * robust_factor(d2, robust, delta)
 
     ones37 = jnp.logical_or(lane == 3, lane == 7).astype(p.dtype)
     u = qc * mask03 + matched_shift + ones37
@@ -321,22 +329,24 @@ def _moment_math(p, qvalid, reps_blk, bins_c, sq_b, G, b_row, alpha,
                                (((1,), (1,)), ((0,), (0,))), precision=_HI)
 
 
-def _make_moment_kernel(weighted: bool):
+def _make_moment_kernel(weighted: bool, robust: str):
     def kernel(p_ref, qvalid_ref, reps_ref, bins_ref, sq_b_ref, g_ref,
-               b_ref, alpha_ref, out_ref):
+               b_ref, scal_ref, out_ref):
         out_ref[:] = _moment_math(
             p_ref[:], qvalid_ref[:], reps_ref[:], bins_ref[:], sq_b_ref[:],
-            g_ref[:], b_ref[:], alpha_ref[0, 0], weighted)
+            g_ref[:], b_ref[:], scal_ref[0, 0], weighted, robust,
+            scal_ref[0, 1])
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("weighted", "bin_batch",
-                                             "interpret"))
+@functools.partial(jax.jit, static_argnames=("weighted", "robust",
+                                             "bin_batch", "interpret"))
 def bin_point_moments_pallas(mg: jnp.ndarray, qvalid: jnp.ndarray,
                              reps: jnp.ndarray, bins_c: jnp.ndarray,
                              sq_b_masked: jnp.ndarray, G: jnp.ndarray,
                              b_row: jnp.ndarray, alpha, *, weighted: bool,
+                             robust: str = "none", robust_delta=0.0,
                              bin_batch: int = 0,
                              interpret: bool = False) -> jnp.ndarray:
     """Fused per-bin search + weighting + 8x8 moment reduction.
@@ -350,6 +360,9 @@ def bin_point_moments_pallas(mg: jnp.ndarray, qvalid: jnp.ndarray,
       G, b_row: from :func:`prep_similarity`.
       alpha: photometric blend (traced scalar).
       weighted: reference WEIGHTED vs REGULAR residual weighting.
+      robust: static robust-kernel name ("none"/"huber"/"tukey"/"trimmed");
+        its IRLS factor multiplies into w in-kernel.
+      robust_delta: traced robust scale (blended distance units).
       bin_batch: bins per grid step (0 = VMEM-aware auto).
     Returns:
       (n_r, 8, 8) per-bin weighted second-moment matrices P_b in the
@@ -362,7 +375,8 @@ def bin_point_moments_pallas(mg: jnp.ndarray, qvalid: jnp.ndarray,
     bin_batch = min(bin_batch, n_r)
     assert n_r % bin_batch == 0, (n_r, bin_batch)
     grid = (n_r // bin_batch,)
-    alpha_arr = jnp.asarray(alpha, mg.dtype).reshape(1, 1)
+    scal_arr = jnp.stack([jnp.asarray(alpha, mg.dtype),
+                          jnp.asarray(robust_delta, mg.dtype)]).reshape(1, 2)
 
     def i3(i):
         return (i, 0, 0)
@@ -374,7 +388,7 @@ def bin_point_moments_pallas(mg: jnp.ndarray, qvalid: jnp.ndarray,
         return (0, 0)
 
     return pl.pallas_call(
-        _make_moment_kernel(weighted),
+        _make_moment_kernel(weighted, robust),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bin_batch, cq, d), i3, memory_space=pltpu.VMEM),
@@ -395,19 +409,21 @@ def bin_point_moments_pallas(mg: jnp.ndarray, qvalid: jnp.ndarray,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(mg, qvalid, reps, bins_c, sq_b_masked, G, b_row, alpha_arr)
+    )(mg, qvalid, reps, bins_c, sq_b_masked, G, b_row, scal_arr)
 
 
 def bin_point_moments_ref(mg: jnp.ndarray, qvalid: jnp.ndarray,
                           reps: jnp.ndarray, bins_c: jnp.ndarray,
                           sq_b_masked: jnp.ndarray, G: jnp.ndarray,
-                          b_row: jnp.ndarray, alpha, *,
-                          weighted: bool) -> jnp.ndarray:
+                          b_row: jnp.ndarray, alpha, *, weighted: bool,
+                          robust: str = "none", robust_delta=0.0
+                          ) -> jnp.ndarray:
     """Plain-XLA twin of :func:`bin_point_moments_pallas` — the production
     path on CPU backends and the interpret-parity golden."""
     alpha = jnp.asarray(alpha, mg.dtype)
     return _moment_math(mg, qvalid, reps, bins_c, sq_b_masked, G, b_row,
-                        alpha, weighted)
+                        alpha, weighted, robust,
+                        jnp.asarray(robust_delta, mg.dtype))
 
 
 # ---------------------------------------------------------------------------

@@ -28,6 +28,35 @@ def compute_weights(dists: jnp.ndarray) -> jnp.ndarray:
     return 100.0 / (100.0 + dists)
 
 
+def robust_factor(d2: jnp.ndarray, kind: str, delta) -> jnp.ndarray:
+    """IRLS weight of a robust M-estimator on the blended squared distance.
+
+    Beyond-reference extension (see runtime.config.RobustKernel): composes
+    multiplicatively with :func:`compute_weights`. ``delta`` is in blended
+    DISTANCE units (the kernel compares d^2 against delta^2). Elementwise on
+    d^2 only — fuses into the hot Pallas moment kernel.
+
+    Args:
+      d2: blended squared NN distances (any shape).
+      kind: static "none" | "huber" | "tukey" | "trimmed".
+      delta: traced scalar scale (ICPParams.robust_delta).
+    """
+    if kind == "none":
+        return jnp.ones_like(d2)
+    delta = jnp.asarray(delta, d2.dtype)
+    d2 = jnp.maximum(d2, 0.0)
+    if kind == "huber":
+        # w = min(1, delta/|r|); exact 1 at r = 0 (rsqrt guard).
+        return jnp.minimum(
+            1.0, delta * jax.lax.rsqrt(jnp.maximum(d2, jnp.asarray(1e-12, d2.dtype))))
+    if kind == "tukey":
+        z = jnp.maximum(1.0 - d2 / (delta * delta), 0.0)
+        return z * z
+    if kind == "trimmed":
+        return (d2 <= delta * delta).astype(d2.dtype)
+    raise ValueError(f"unknown robust kernel: {kind!r}")
+
+
 def masked_weight_sum(weights: jnp.ndarray,
                       mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Sum of weights (the reference promotes to f64 in ``reduce_sum_fd``;

@@ -154,14 +154,17 @@ def _point_partials(local: RBCIndex, moving_local: jnp.ndarray,
     qvalid = glayout.valid[:n_r_local].astype(moving_local.dtype)
     G, b_row = prep_similarity(state.q, state.t, state.s)
     weighted = config.weighting is Weighting.WEIGHTED
+    robust = config.robust.value
     if config.use_pallas and jax.default_backend() == "tpu":
         P_b = bin_point_moments_pallas(
             mg, qvalid, local.reps, local.bins_centered, local.sq_b_masked,
-            G, b_row, params.alpha, weighted=weighted)
+            G, b_row, params.alpha, weighted=weighted, robust=robust,
+            robust_delta=params.robust_delta)
     else:
         P_b = bin_point_moments_ref(
             mg, qvalid, local.reps, local.bins_centered, local.sq_b_masked,
-            G, b_row, params.alpha, weighted=weighted)
+            G, b_row, params.alpha, weighted=weighted, robust=robust,
+            robust_delta=params.robust_delta)
     return point_moment_partials(P_b, local.reps)
 
 
@@ -262,8 +265,18 @@ def sharded_icp_step(state: ICPState, moving_local: jnp.ndarray,
             jnp.sum(jnp.abs(matched_f[..., :3]), axis=-1) > 0)
         mp_dup = mp_size
 
-    w = (compute_weights(nn_dist)
-         if config.weighting is Weighting.WEIGHTED else None)
+    if config.weighting is Weighting.WEIGHTED or \
+            config.robust.value != "none":
+        w = (compute_weights(nn_dist)
+             if config.weighting is Weighting.WEIGHTED
+             else jnp.ones_like(nn_dist))
+        if config.robust.value != "none":
+            from icp_tpu.ops.moments import robust_factor
+
+            w = w * robust_factor(nn_dist, config.robust.value,
+                                  params.robust_delta)
+    else:
+        w = None
 
     if config.objective is Objective.PLANE:
         # Point-to-plane: per-shard 6x6 partials, one psum, replicated solve.

@@ -207,6 +207,7 @@ def rbc_point_moments_grouped(index: RBCIndex, mg: jnp.ndarray,
                               qvalid: jnp.ndarray, G: jnp.ndarray,
                               b_row: jnp.ndarray, alpha, c, *,
                               weighted: bool, use_pallas: bool,
+                              robust: str = "none", robust_delta=0.0,
                               interpret: bool = False):
     """Phase 2 of the fused POINT pipeline: per-bin search + weighting +
     8x8 moment reduction over an ALREADY-grouped query table (so callers
@@ -221,18 +222,21 @@ def rbc_point_moments_grouped(index: RBCIndex, mg: jnp.ndarray,
     if use_pallas:
         P = bin_point_moments_pallas(
             mg, qvalid, index.reps, index.bins_centered, index.sq_b_masked,
-            G, b_row, alpha, weighted=weighted, interpret=interpret)
+            G, b_row, alpha, weighted=weighted, robust=robust,
+            robust_delta=robust_delta, interpret=interpret)
     else:
         P = bin_point_moments_ref(
             mg, qvalid, index.reps, index.bins_centered, index.sq_b_masked,
-            G, b_row, alpha, weighted=weighted)
+            G, b_row, alpha, weighted=weighted, robust=robust,
+            robust_delta=robust_delta)
     return point_moments_from_P(P, index.reps, c)
 
 
 def rbc_point_moments(index: RBCIndex, moving8: jnp.ndarray,
                       q: jnp.ndarray, t: jnp.ndarray, s: jnp.ndarray,
                       alpha, c, query_capacity: int, *, weighted: bool,
-                      use_pallas: bool, interpret: bool = False):
+                      use_pallas: bool, robust: str = "none",
+                      robust_delta=0.0, interpret: bool = False):
     """FULLY-fused POINT-objective iteration front half: transform + rep
     assignment + grouping + per-bin search + weighting + moments, with
     only the grouping sort/gather in XLA and everything else in two Pallas
@@ -248,6 +252,8 @@ def rbc_point_moments(index: RBCIndex, moving8: jnp.ndarray,
       query_capacity: static per-bin query capacity.
       weighted: reference WEIGHTED vs REGULAR.
       use_pallas: route through the TPU kernels (else the XLA twins).
+      robust, robust_delta: optional robust M-estimator factor on the pair
+        weights (runtime.config.RobustKernel), applied in-kernel.
     Returns:
       (S11 (11,) in the icpSijProducts layout (c applied),
        mean_f (3,), mean_m (3,), sum_w scalar).
@@ -262,6 +268,8 @@ def rbc_point_moments(index: RBCIndex, moving8: jnp.ndarray,
     return rbc_point_moments_grouped(index, mg, qvalid, G, b_row, alpha, c,
                                      weighted=weighted,
                                      use_pallas=use_pallas,
+                                     robust=robust,
+                                     robust_delta=robust_delta,
                                      interpret=interpret)
 
 

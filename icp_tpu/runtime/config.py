@@ -68,6 +68,35 @@ class Objective(enum.Enum):
     GICP = "gicp"
 
 
+class RobustKernel(enum.Enum):
+    """Robust M-estimator applied to correspondence residuals (IRLS weights).
+
+    Beyond-reference extension: the reference's only robustness device is the
+    fixed-scale Cauchy-like weighting ``w = 100/(100+d^2)``
+    (kernels/icp_kernels.cl:138-180). A robust kernel composes
+    MULTIPLICATIVELY with that weighting (and with REGULAR, which has none),
+    gating gross outliers — occlusions, sensor dropouts, dynamic objects —
+    out of the Horn / Gauss-Newton solves. The IRLS factor is a function of
+    the blended squared NN distance d^2 (geometric mm^2 + alpha-scaled
+    photometric) against the scale ``ICPParams.robust_delta`` (same units as
+    the blended DISTANCE, i.e. ~mm):
+
+      NONE     1
+      HUBER    min(1, delta / d)              (linear tail)
+      TUKEY    (1 - d^2/delta^2)^2, 0 beyond  (hard redescending)
+      TRIMMED  1 if d <= delta else 0         (max-correspondence-distance
+                                               rejection / truncated LS)
+
+    All three are elementwise on d^2 and fuse into the hot Pallas moment
+    kernel at zero measurable cost.
+    """
+
+    NONE = "none"
+    HUBER = "huber"
+    TUKEY = "tukey"
+    TRIMMED = "trimmed"
+
+
 class Correspondence(enum.Enum):
     """Nearest-neighbor search strategy.
 
@@ -92,6 +121,9 @@ class ICPConfig:
         src/ICP/algorithms.cpp:852-854).
       rotation: rotation solver variant.
       weighting: residual weighting variant.
+      robust: robust M-estimator gating outlier correspondences (see
+        :class:`RobustKernel`); composes with ``weighting``. Scale knob:
+        ``ICPParams.robust_delta``.
       correspondence: NN search strategy.
       max_iterations: iteration cap of the registration loop (reference
         default 40, include/ICP/algorithms.hpp:2440).
@@ -124,6 +156,7 @@ class ICPConfig:
     n_r: int = 256
     rotation: RotationMode = RotationMode.POWER
     weighting: Weighting = Weighting.WEIGHTED
+    robust: RobustKernel = RobustKernel.NONE
     correspondence: Correspondence = Correspondence.RBC
     max_iterations: int = 40
     bin_capacity: int = 0  # 0 -> auto: 2x mean occupancy, 128-lane rounded
@@ -213,6 +246,10 @@ class ICPParams:
       length unit (mm for Kinect data; reference default 0.01).
     gicp_epsilon: GICP disk-covariance thickness along the normal
       (Segal et al. use 1e-3); only read by Objective.GICP.
+    robust_delta: scale of the robust kernel (ICPConfig.robust), in blended
+      DISTANCE units — mm for pure geometry (the photometric term adds
+      alpha-scaled color offsets). Default 100 ~ "reject/damp pairs beyond
+      ~10 cm" on Kinect-scale scenes. Only read when robust != NONE.
     """
 
     alpha: Any = 1e2
@@ -220,6 +257,7 @@ class ICPParams:
     angle_threshold_deg: Any = 0.001
     translation_threshold: Any = 0.01
     gicp_epsilon: Any = 1e-3
+    robust_delta: Any = 100.0
 
     def tree_flatten(self):
         children = (
@@ -228,6 +266,7 @@ class ICPParams:
             self.angle_threshold_deg,
             self.translation_threshold,
             self.gicp_epsilon,
+            self.robust_delta,
         )
         return children, None
 
@@ -242,4 +281,5 @@ class ICPParams:
             angle_threshold_deg=jnp.float32(self.angle_threshold_deg),
             translation_threshold=jnp.float32(self.translation_threshold),
             gicp_epsilon=jnp.float32(self.gicp_epsilon),
+            robust_delta=jnp.float32(self.robust_delta),
         )

@@ -74,6 +74,7 @@ def _payload(engine: SlamEngine) -> dict:
                 "translation_threshold": float(
                     engine.params.translation_threshold),
                 "gicp_epsilon": float(engine.params.gicp_epsilon),
+                "robust_delta": float(engine.params.robust_delta),
             },
             "policy": dataclasses.asdict(engine.policy),
             "loop_config": dataclasses.asdict(engine.loop_config),
@@ -95,11 +96,13 @@ def _config_dict(config) -> dict:
 def _config_from_dict(d: dict):
     """Inverse of :func:`_config_dict`."""
     from icp_tpu.runtime.config import (
-        Correspondence, ICPConfig, Objective, RotationMode, Weighting,
+        Correspondence, ICPConfig, Objective, RobustKernel, RotationMode,
+        Weighting,
     )
 
     enums = {"rotation": RotationMode, "weighting": Weighting,
-             "correspondence": Correspondence, "objective": Objective}
+             "correspondence": Correspondence, "objective": Objective,
+             "robust": RobustKernel}
     kwargs = {}
     valid = {f.name for f in dataclasses.fields(ICPConfig)}
     for k, v in d.items():
