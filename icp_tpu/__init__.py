@@ -30,7 +30,7 @@ from icp_tpu.runtime.config import (
 )
 from icp_tpu.icp.state import ICPState, identity_state
 from icp_tpu.icp.step import icp_step
-from icp_tpu.icp.run import icp_run, register
+from icp_tpu.icp.run import icp_run, register, register_batch
 from icp_tpu.rbc.construct import rbc_construct, RBCIndex
 from icp_tpu.rbc.search import rbc_search
 
@@ -49,6 +49,7 @@ __all__ = [
     "icp_step",
     "icp_run",
     "register",
+    "register_batch",
     "rbc_construct",
     "rbc_search",
     "RBCIndex",

@@ -110,3 +110,31 @@ def register(fixed8: jnp.ndarray, moving8: jnp.ndarray,
     else:
         target = fixed8
     return icp_run(moving8, target, params, config)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def register_batch(fixed8: jnp.ndarray, moving8: jnp.ndarray,
+                   params: ICPParams, config: ICPConfig) -> ICPState:
+    """Register a BATCH of pairs in one dispatch (beyond-reference:
+    serving/offline throughput — multi-camera rigs, map-merging queues,
+    trajectory re-verification).
+
+    ``vmap`` over :func:`register`: RBC construction, the search kernels,
+    and the reductions all batch; the convergence ``while_loop`` becomes a
+    batched loop that runs until EVERY pair converges, with already-
+    converged pairs frozen by the batching rule's select — so each lane's
+    result (including its iteration count ``k``) is exactly the
+    single-pair result. Wall-clock is set by the slowest pair, but the
+    dispatch/bandwidth amortization across lanes is what a single TPU chip
+    wants for throughput serving.
+
+    Args:
+      fixed8: (B, m, 8) fixed landmark sets.
+      moving8: (B, m, 8) moving landmark sets.
+      params: dynamic scalars, shared across the batch.
+      config: static configuration, shared across the batch.
+    Returns:
+      ICPState with a leading batch axis on every leaf.
+    """
+    return jax.vmap(lambda f, m: register(f, m, params, config))(
+        fixed8, moving8)
