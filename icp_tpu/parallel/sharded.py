@@ -340,18 +340,27 @@ def sharded_icp_run(moving_local, index, params, config,
     """Device-resident convergence loop (inside shard_map)."""
     state = identity_state(moving_local.dtype)
 
-    def cond(s):
+    # Convergence computed in-body and carried as a flag — keeps the cond
+    # to scalar logic on carried values (see icp.run.icp_run: evaluating
+    # converged() in the cond costs ~70 us/iteration of tiny kernel
+    # launches between iterations). All shards compute identical state, so
+    # the flag agrees across the mesh.
+    def cond(carry):
+        s, done = carry
         return jnp.logical_and(
             s.k < config.max_iterations,
-            jnp.logical_or(s.k == 0, jnp.logical_not(converged(s, params))),
+            jnp.logical_or(s.k == 0, jnp.logical_not(done)),
         )
 
-    def body(s):
-        return sharded_icp_step(s, moving_local, index, params, config,
-                                n_r_local, query_capacity,
-                                mnormals_local=mnormals_local)
+    def body(carry):
+        s, _ = carry
+        ns = sharded_icp_step(s, moving_local, index, params, config,
+                              n_r_local, query_capacity,
+                              mnormals_local=mnormals_local)
+        return ns, converged(ns, params)
 
-    return jax.lax.while_loop(cond, body, state)
+    final, _ = jax.lax.while_loop(cond, body, (state, jnp.bool_(False)))
+    return final
 
 
 def make_sharded_register(mesh, config: ICPConfig):
