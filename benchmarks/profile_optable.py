@@ -232,8 +232,9 @@ def main():
             "than the reference's GPU kernel: a 128x128 sample of a "
             "640x480 image is 16384 non-contiguous 32 B reads, which GPU "
             "thread-coalescing hides and a TPU strided DMA cannot — it "
-            "runs once per frame (not per iteration), ~1% of a frame at "
-            "148 frames/s.\n")
+            "runs once per frame (not per iteration), ~1.5% of the "
+            "odometry frame budget (see benchmarks/bench_odometry.py for "
+            "the current frames/s).\n")
     print(f"wrote {OUT}")
 
 

@@ -64,6 +64,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from icp_tpu.icp.quaternion import quat_to_matrix
+from icp_tpu.ops.moments import robust_factor
 
 DEFAULT_BLOCK_M = 2048
 DEFAULT_BIN_BATCH = 32
@@ -316,8 +317,6 @@ def _moment_math(p, qvalid, reps_blk, bins_c, sq_b, G, b_row, alpha,
     if weighted:
         w = w * (100.0 / (100.0 + d2))  # reference icpComputeReduceWeights
     if robust != "none":
-        from icp_tpu.ops.moments import robust_factor
-
         w = w * robust_factor(d2, robust, delta)
 
     ones37 = jnp.logical_or(lane == 3, lane == 7).astype(p.dtype)
@@ -406,7 +405,9 @@ def bin_point_moments_pallas(mg: jnp.ndarray, qvalid: jnp.ndarray,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_r * cq * cb * d * 2 + 2 * n_r * cq * d * d * 3,
             bytes_accessed=4 * n_r * (cq * d + cb * d + cb + cq + d * d),
-            transcendentals=0,
+            # Huber's IRLS factor is the only transcendental (one rsqrt
+            # per query slot); the other kernels are polynomial.
+            transcendentals=n_r * cq if robust == "huber" else 0,
         ),
         interpret=interpret,
     )(mg, qvalid, reps, bins_c, sq_b_masked, G, b_row, scal_arr)

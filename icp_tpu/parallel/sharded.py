@@ -57,6 +57,7 @@ from icp_tpu.ops.moments import (
     centroid_partials,
     compute_weights,
     deviations,
+    robust_factor,
     s_matrix,
 )
 from icp_tpu.ops.sampling import sample_representative_indices
@@ -271,8 +272,6 @@ def sharded_icp_step(state: ICPState, moving_local: jnp.ndarray,
              if config.weighting is Weighting.WEIGHTED
              else jnp.ones_like(nn_dist))
         if config.robust.value != "none":
-            from icp_tpu.ops.moments import robust_factor
-
             w = w * robust_factor(nn_dist, config.robust.value,
                                   params.robust_delta)
     else:
@@ -377,9 +376,15 @@ def make_sharded_register(mesh, config: ICPConfig):
         raise ValueError("m must divide evenly over the dp axis")
     n_r_local = config.n_r // n_mp
     m_local = config.m // n_dp
-    # Local query capacity: dp-local queries spread over the FULL rep range;
-    # expected m_local / n_r per bin, padded 4x like the single-chip path.
-    query_capacity = max(4 * m_local // config.n_r, 8)
+    # Local query capacity: dp-local queries spread over the FULL rep
+    # range, so each locally-owned bin expects m_local / n_r = (m / n_r)
+    # / n_dp queries from this shard. Scale the configured (or auto)
+    # single-chip capacity by the same 1 / n_dp so the user's headroom
+    # multiplier — and the documented capacity/overflow trade-off — carry
+    # over to the sharded path; 8-aligned like the single-chip default
+    # (the query side is the sublane dim).
+    query_capacity = max(
+        (((config.query_capacity + n_dp - 1) // n_dp + 7) // 8) * 8, 8)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(DP_AXIS, None), P(DP_AXIS, None), P()),
