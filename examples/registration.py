@@ -5,7 +5,8 @@ convergence in one device dispatch, report, and export before/after views.
 
 Usage:
     python examples/registration.py [name] [--data-dir DIR] [--synthetic]
-        [--out-dir DIR] [--plot]
+        [--out-dir DIR] [--plot] [--robust {none,huber,tukey,trimmed}]
+        [--robust-delta MM]
 """
 
 from __future__ import annotations
@@ -26,18 +27,26 @@ def main():
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--out-dir", default="/tmp/icp_tpu_reg")
     ap.add_argument("--plot", action="store_true")
+    ap.add_argument("--robust", default="none",
+                    choices=["none", "huber", "tukey", "trimmed"],
+                    help="robust M-estimator gating outlier pairs")
+    ap.add_argument("--robust-delta", type=float, default=100.0,
+                    help="robust kernel scale, blended-distance units (mm)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
 
-    from icp_tpu import ICPConfig, ICPParams
+    from icp_tpu import ICPConfig, ICPParams, RobustKernel
     from icp_tpu.icp.pipeline import ICPRegistration
     from icp_tpu.icp.quaternion import transform_points
     from icp_tpu.sensors.io import write_ply
     from examples.step_by_step import load_pair
 
     fixed, moving = load_pair(args)
-    app = ICPRegistration(ICPParams(alpha=2e2), ICPConfig(estimate_scale=False))
+    app = ICPRegistration(
+        ICPParams(alpha=2e2, robust_delta=args.robust_delta),
+        ICPConfig(estimate_scale=False,
+                  robust=RobustKernel(args.robust)))
     state = app.register_clouds(fixed, moving)
 
     os.makedirs(args.out_dir, exist_ok=True)
