@@ -27,6 +27,7 @@ from icp_tpu.icp.quaternion import qmul, qnormalize, qrotate, transform_points
 from icp_tpu.icp.state import ICPState
 from icp_tpu.ops.distance import nearest_neighbor_brute
 from icp_tpu.ops.moments import (
+    adaptive_robust_delta,
     centroids,
     compute_weights,
     deviations,
@@ -125,7 +126,9 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
     # so they take the grouped-search path below.
     if (config.fused_point
             and config.correspondence is Correspondence.RBC
-            and config.objective is Objective.POINT):
+            and config.objective is Objective.POINT
+            and not (config.robust_adaptive
+                     and config.robust.value != "none")):
         assert isinstance(target, RBCIndex)
         S11, mean_f, mean_m, _sum_w = rbc_point_moments(
             target, moving8, state.q, state.t, state.s,
@@ -192,7 +195,9 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
              if config.weighting is Weighting.WEIGHTED
              else jnp.ones_like(nn_dist))
         if robust != "none":
-            w = w * robust_factor(nn_dist, robust, params.robust_delta)
+            delta = (adaptive_robust_delta(nn_dist, mask, robust)
+                     if config.robust_adaptive else params.robust_delta)
+            w = w * robust_factor(nn_dist, robust, delta)
         if mask is not None:
             w = jnp.where(mask, w, 0.0)
         sum_w = masked_weight_sum(w)

@@ -57,6 +57,42 @@ def robust_factor(d2: jnp.ndarray, kind: str, delta) -> jnp.ndarray:
     raise ValueError(f"unknown robust kernel: {kind!r}")
 
 
+def masked_median(x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Median of ``x`` over ``mask`` (one sort + one dynamic pick).
+
+    Invalid slots sort to +inf; the pick index is (count-1)//2 (lower
+    median). Returns 0 when nothing is valid.
+    """
+    if mask is not None:
+        x = jnp.where(mask, x, jnp.inf)
+    s = jnp.sort(x.reshape(-1))
+    cnt = (jnp.sum(mask.astype(jnp.int32)) if mask is not None
+           else jnp.asarray(x.size, jnp.int32))
+    med = s[jnp.maximum(cnt - 1, 0) // 2]
+    return jnp.where(cnt > 0, med, 0.0)
+
+
+# Per-kernel adaptive-scale constants on median(|r|) (robust_adaptive):
+# sigma_hat = 1.4826 * MAD ~ 1.4826 * median(|r|) for zero-centered
+# residuals; Huber's classic c = 1.345 sigma and Tukey's c = 4.685 sigma
+# give ~2 and ~7 median multiples; TRIMMED at 3x median rejects the gross
+# tail while tolerating pre-convergence misalignment.
+_ADAPTIVE_K = {"huber": 2.0, "tukey": 7.0, "trimmed": 3.0}
+
+
+def adaptive_robust_delta(d2: jnp.ndarray, mask: Optional[jnp.ndarray],
+                          kind: str) -> jnp.ndarray:
+    """Per-iteration robust scale from the residuals themselves.
+
+    delta = K_kind * sqrt(median(d2 over valid pairs)) — the median is
+    unaffected by <50% contamination, and the scale anneals as the
+    alignment converges. Guarded to a 1e-3 floor so a perfectly-converged
+    frame (all-zero residuals) never zeroes every weight.
+    """
+    med_r = jnp.sqrt(jnp.maximum(masked_median(d2, mask), 0.0))
+    return jnp.maximum(_ADAPTIVE_K[kind] * med_r, 1e-3)
+
+
 def masked_weight_sum(weights: jnp.ndarray,
                       mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Sum of weights (the reference promotes to f64 in ``reduce_sum_fd``;

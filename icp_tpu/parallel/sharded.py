@@ -370,6 +370,11 @@ def make_sharded_register(mesh, config: ICPConfig):
     """
     n_dp = mesh.shape[DP_AXIS]
     n_mp = mesh.shape[MP_AXIS]
+    if config.robust_adaptive and config.robust.value != "none":
+        raise ValueError(
+            "robust_adaptive is not supported on the sharded path (the "
+            "residual median would need its own collective); set "
+            "ICPParams.robust_delta explicitly instead")
     if config.n_r % n_mp != 0:
         raise ValueError("n_r must divide evenly over the mp axis")
     if config.m % n_dp != 0:

@@ -124,6 +124,13 @@ class ICPConfig:
       robust: robust M-estimator gating outlier correspondences (see
         :class:`RobustKernel`); composes with ``weighting``. Scale knob:
         ``ICPParams.robust_delta``.
+      robust_adaptive: derive the robust scale per iteration from the
+        masked median residual instead of ``robust_delta`` (MAD-style,
+        per-kernel multiples — ops.moments.adaptive_robust_delta). The
+        median needs per-pair residuals, so this routes POINT through the
+        grouped-search pipeline instead of the fused moment kernel
+        (~25-30% slower iterations) and is not available on the sharded
+        path (a distributed median would need its own collective).
       correspondence: NN search strategy.
       max_iterations: iteration cap of the registration loop (reference
         default 40, include/ICP/algorithms.hpp:2440).
@@ -157,6 +164,7 @@ class ICPConfig:
     rotation: RotationMode = RotationMode.POWER
     weighting: Weighting = Weighting.WEIGHTED
     robust: RobustKernel = RobustKernel.NONE
+    robust_adaptive: bool = False
     correspondence: Correspondence = Correspondence.RBC
     max_iterations: int = 40
     bin_capacity: int = 0  # 0 -> auto: 2x mean occupancy, 128-lane rounded

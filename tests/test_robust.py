@@ -19,6 +19,7 @@ from icp_tpu import (
     Correspondence,
     ICPConfig,
     ICPParams,
+    Objective,
     RobustKernel,
     Weighting,
     register,
@@ -161,6 +162,55 @@ def test_robust_pallas_matches_ref_twin(rng, robust):
         a, b = np.asarray(a), np.asarray(b)
         tol = 1e-4 * max(np.abs(b).max(), 1.0)
         np.testing.assert_allclose(a, b, atol=tol, err_msg=name)
+
+
+def test_masked_median():
+    from icp_tpu.ops.moments import masked_median
+
+    x = jnp.asarray([5.0, 1.0, 9.0, 3.0, 7.0])
+    m = jnp.asarray([True, True, False, True, True])
+    assert float(masked_median(x, m)) == 3.0  # lower median of {1,3,5,7}
+    assert float(masked_median(x, None)) == 5.0
+    assert float(masked_median(x, jnp.zeros(5, bool))) == 0.0
+
+
+@pytest.mark.parametrize("objective", [Objective.POINT, Objective.PLANE])
+def test_robust_adaptive_recovers_without_delta(rng, objective):
+    """robust_adaptive derives the scale from the residual median — no
+    robust_delta tuning — and still rejects 12% gross contamination."""
+    fixed, moving, q_true, t_true = _make_pair(rng, 4096)
+    moving = _contaminate(rng, np.asarray(moving))
+    config = ICPConfig(m=4096, n_r=64, weighting=Weighting.REGULAR,
+                       robust=RobustKernel.TUKEY, robust_adaptive=True,
+                       objective=objective, estimate_scale=False)
+    # Deliberately absurd robust_delta: adaptive mode must ignore it.
+    params = ICPParams(alpha=2e2, robust_delta=1e9).as_f32()
+    st = register(jnp.asarray(fixed), jnp.asarray(moving), params, config)
+    assert np.linalg.norm(np.asarray(st.t) - t_true) < 1.0
+    assert float(qangle_deg(qmul(st.q, qconj(jnp.asarray(q_true))))) < 0.1
+
+
+def test_robust_adaptive_clean_pair_still_converges(rng):
+    """On a clean pair the annealing scale must not reject inliers: the
+    registration still lands on the truth (floor guard covers the
+    all-zero-residual endgame)."""
+    fixed, moving, q_true, t_true = _make_pair(rng, 4096)
+    config = ICPConfig(m=4096, n_r=64, robust=RobustKernel.TRIMMED,
+                       robust_adaptive=True, estimate_scale=False)
+    st = register(jnp.asarray(fixed), jnp.asarray(moving),
+                  ICPParams(alpha=2e2).as_f32(), config)
+    assert np.linalg.norm(np.asarray(st.t) - t_true) < 0.1
+    assert float(qangle_deg(qmul(st.q, qconj(jnp.asarray(q_true))))) < 0.01
+
+
+def test_robust_adaptive_sharded_raises():
+    from icp_tpu.parallel.mesh import make_mesh
+    from icp_tpu.parallel.sharded import make_sharded_register
+
+    cfg = ICPConfig(m=1024, n_r=16, robust=RobustKernel.TUKEY,
+                    robust_adaptive=True)
+    with pytest.raises(ValueError, match="robust_adaptive"):
+        make_sharded_register(make_mesh(2, 1), cfg)
 
 
 def test_robust_config_checkpoint_roundtrip():
