@@ -70,7 +70,8 @@ def _level(fixed8, moving8, params, config, init):
         from icp_tpu.icp.step import BruteTarget
         from icp_tpu.ops.normals import normals_for
 
-        target = BruteTarget(db=fixed8, normals=normals_for(fixed8))
+        target = BruteTarget(
+            db=fixed8, normals=normals_for(fixed8, config.normal_mode))
     else:
         target = fixed8
     return icp_run(moving8, target, params, config, init=init)

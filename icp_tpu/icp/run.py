@@ -94,7 +94,7 @@ def build_index(fixed8: jnp.ndarray, params: ICPParams,
     if config.needs_normals:
         from icp_tpu.ops.normals import normals_for
 
-        normals = normals_for(fixed8)
+        normals = normals_for(fixed8, config.normal_mode)
     else:
         normals = None
     return rbc_construct(fixed8, reps, params.alpha, config.bin_capacity,
@@ -118,7 +118,8 @@ def register(fixed8: jnp.ndarray, moving8: jnp.ndarray,
         # structure.
         from icp_tpu.ops.normals import normals_for
 
-        target = BruteTarget(db=fixed8, normals=normals_for(fixed8))
+        target = BruteTarget(
+            db=fixed8, normals=normals_for(fixed8, config.normal_mode))
     else:
         target = fixed8
     return icp_run(moving8, target, params, config)

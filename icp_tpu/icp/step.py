@@ -166,7 +166,8 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
             or config.objective is Objective.GICP):
         from icp_tpu.ops.normals import normals_for
 
-        extra_rows = qrotate(state.q, normals_for(moving8))
+        extra_rows = qrotate(state.q,
+                             normals_for(moving8, config.normal_mode))
     else:
         extra_rows = None
     mv, matched_f, nn_dist, mask, matched_n, extra = _find_correspondences(

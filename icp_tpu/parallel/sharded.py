@@ -401,7 +401,7 @@ def make_sharded_register(mesh, config: ICPConfig):
         if config.needs_normals:
             from icp_tpu.ops.normals import normals_for
 
-            normals = normals_for(fixed8)
+            normals = normals_for(fixed8, config.normal_mode)
         else:
             normals = None
         index = rbc_construct(fixed8, fixed8[rep_ids], params.alpha,
@@ -419,7 +419,7 @@ def make_sharded_register(mesh, config: ICPConfig):
         if config.objective is Objective.GICP:
             from icp_tpu.ops.normals import normals_for
 
-            mnormals = normals_for(moving8)
+            mnormals = normals_for(moving8, config.normal_mode)
         else:
             mnormals = jnp.zeros((moving8.shape[0], 3), moving8.dtype)
         return _run(fixed8, moving8, mnormals, params)

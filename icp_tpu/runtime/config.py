@@ -54,7 +54,8 @@ class Objective(enum.Enum):
     Gauss-Newton against fixed-surface normals, which removes the
     tangential discretization bias of matching a sampled surface (sub-mm
     where POINT floors at a few mm on the landmark grid). PLANE implies
-    rigid (s_k = 1) and needs organized landmarks for normal estimation.
+    rigid (s_k = 1); normals come from the organized grid or from kNN PCA
+    on unorganized clouds (``normal_mode``).
     """
 
     POINT = "point"
@@ -176,6 +177,12 @@ class ICPConfig:
     # per pair — Rusinkiewicz-style symmetric objective, second-order
     # convergence on smooth surfaces. Only meaningful with PLANE.
     plane_symmetric: bool = False
+    # Normal estimation for the normal-consuming objectives (PLANE/GICP):
+    # "auto" (square counts assumed organized -> grid normals, else zeros),
+    # "grid" (organized row-major grid, error if not square), or "knn"
+    # (PCA of geometric k-NN — REQUIRED for unorganized clouds such as
+    # LiDAR sweeps; auto cannot detect organization). ops.normals.
+    normal_mode: str = "auto"
     # Fully-fused POINT pipeline (kernels/fused_step.py): transform + rep
     # assignment + per-bin search + weighting + the whole statistical tail
     # collapse into two passes emitting per-bin 8x8 moment matrices — no
@@ -192,6 +199,9 @@ class ICPConfig:
             raise ValueError("The sets of representatives cannot have zero points")
         if self.n_r % 4 != 0:
             raise ValueError("n_r must be a multiple of 4")  # ref cpp:845-854
+        if self.normal_mode not in ("auto", "grid", "knn"):
+            raise ValueError(
+                f"normal_mode must be auto|grid|knn, got {self.normal_mode!r}")
         # Default bin capacity: 2x mean occupancy, rounded up to the
         # 128-lane TPU tile (the DATABASE side is the lane dim of the score
         # tensor, so sub-128 sizes just pad back to 128 in VMEM). Overflow

@@ -1,0 +1,71 @@
+"""kNN PCA normal estimation — unlocks PLANE/GICP on UNORGANIZED clouds
+(ops.normals.knn_normals; normal_mode="knn"). The organized-grid estimator
+cannot run on scattered samples (and "auto" would silently produce garbage
+grid normals on a square-sized random cloud — a documented trap).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from icp_tpu import ICPConfig, ICPParams, Objective, register
+from icp_tpu.icp.quaternion import qangle_deg, qconj, qmul
+from icp_tpu.ops.normals import knn_normals, normals_for
+from tests.test_icp_e2e import _make_pair, _structured_cloud
+
+
+def _analytic_normals(cloud8: np.ndarray) -> np.ndarray:
+    """Ground-truth normals of the test surface z = 1500 + 80 sin(u/90)
+    + 60 cos(v/70): n ∝ (-dz/du, -dz/dv, 1), oriented toward the camera
+    (n . p < 0 — the surface is at z ~ 1.5 m, so the -z orientation)."""
+    u, v = cloud8[:, 0], cloud8[:, 1]
+    dzdu = 80.0 / 90.0 * np.cos(u / 90.0)
+    dzdv = -60.0 / 70.0 * np.sin(v / 70.0)
+    n = np.stack([dzdu, dzdv, -np.ones_like(u)], -1)
+    return n / np.linalg.norm(n, axis=-1, keepdims=True)
+
+
+def test_knn_normals_match_analytic(rng):
+    cloud = _structured_cloud(rng, 4096)  # RANDOM (u, v) — unorganized
+    n_est = np.asarray(knn_normals(jnp.asarray(cloud), k=16))
+    n_true = _analytic_normals(cloud)
+    cos = np.abs(np.sum(n_est * n_true, axis=-1))
+    # PCA over a ~40-mm neighborhood of a gently curved surface: nearly
+    # all points within a few degrees; allow a small tail near sparse
+    # sampling regions.
+    assert np.median(cos) > 0.999
+    assert np.mean(cos > 0.99) > 0.95
+    # Orientation: toward the camera (n . p < 0).
+    assert np.all(np.sum(n_est * cloud[:, :3], axis=-1) <= 1e-3)
+
+
+def test_knn_normals_invalid_points(rng):
+    cloud = _structured_cloud(rng, 512)
+    cloud[100:120] = 0.0  # sensor dropouts
+    n = np.asarray(knn_normals(jnp.asarray(cloud), k=8, block=256))
+    assert np.all(n[100:120] == 0.0)
+    valid = np.abs(cloud[:, :3]).sum(-1) > 0
+    assert np.all(np.abs(np.linalg.norm(n[valid], axis=-1) - 1.0) < 1e-3)
+
+
+def test_normals_for_modes(rng):
+    cloud = jnp.asarray(_structured_cloud(rng, 1000))  # non-square count
+    assert np.all(np.asarray(normals_for(cloud)) == 0.0)  # auto -> zeros
+    n = np.asarray(normals_for(cloud, "knn"))
+    assert np.abs(np.linalg.norm(n, axis=-1) - 1.0).max() < 1e-3
+    with pytest.raises(ValueError, match="square"):
+        normals_for(cloud, "grid")
+    with pytest.raises(ValueError, match="normal_mode"):
+        ICPConfig(normal_mode="pca")
+
+
+def test_plane_knn_registers_unorganized(rng):
+    """PLANE on an unorganized pair with knn normals recovers the truth —
+    the capability the grid estimator cannot provide."""
+    fixed, moving, q_true, t_true = _make_pair(rng, 4096)
+    config = ICPConfig(m=4096, n_r=64, objective=Objective.PLANE,
+                       normal_mode="knn", estimate_scale=False)
+    st = register(jnp.asarray(fixed), jnp.asarray(moving),
+                  ICPParams(alpha=2e2).as_f32(), config)
+    assert np.linalg.norm(np.asarray(st.t) - t_true) < 0.5
+    assert float(qangle_deg(qmul(st.q, qconj(jnp.asarray(q_true))))) < 0.05
