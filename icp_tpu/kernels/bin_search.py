@@ -34,17 +34,30 @@ DEFAULT_BIN_BATCH = 32
 
 
 def _auto_bin_batch(n_r: int, cq: int, cb: int, v: int) -> int:
-    """Largest power-of-two bin batch (<= DEFAULT_BIN_BATCH) dividing n_r
-    whose Mosaic stack stays under the 16 MB scoped-VMEM limit. Anchored
-    on measurement: bin_batch=32 at cq=cb=128, v=12 allocates 18.56 MB
-    (~34 B per bin-slot-pair for the dot3 splits + score/one-hot
-    temporaries, plus the payload gather)."""
+    """Largest LEGAL power-of-two bin batch (<= DEFAULT_BIN_BATCH) dividing
+    n_r whose Mosaic stack stays under the 16 MB scoped-VMEM limit.
+    Anchored on measurement: bin_batch=32 at cq=cb=128, v=12 allocates
+    18.56 MB (~34 B per bin-slot-pair for the dot3 splits + score/one-hot
+    temporaries, plus the payload gather).
+
+    Legality: the (bin_batch, cb)/(bin_batch, cq) 2-D blocks put bin_batch
+    in the SUBLANE dim — Mosaic requires a multiple of 8 or the full array
+    dim. Returns 0 when no legal batch fits (callers fall back to the
+    identical-math XLA path in rbc.search.bin_phase2)."""
     per_bin = 34 * cq * cb + 16 * cb * v
     budget = 15 * 1024 * 1024
-    bb = DEFAULT_BIN_BATCH
-    while bb > 1 and (bb * per_bin > budget or n_r % bb != 0):
+    bb = min(DEFAULT_BIN_BATCH, n_r)
+    while bb >= 8 and (bb * per_bin > budget or n_r % bb != 0):
         bb //= 2
+    if bb < 8 and not (bb == n_r and bb * per_bin <= budget):
+        return 0
     return bb
+
+
+def search_kernel_fits(n_r: int, cq: int, cb: int, v: int) -> bool:
+    """True when :func:`bin_search_pallas` has a legal VMEM-fitting auto
+    bin batch at this shape."""
+    return _auto_bin_batch(n_r, cq, cb, v) > 0
 
 
 def _bin_search_kernel(qg_w_ref, bins_c_ref, sq_b_ref, vals_ref,
@@ -118,6 +131,11 @@ def bin_search_pallas(qg_w: jnp.ndarray, bins_c: jnp.ndarray,
     v = vals.shape[2]
     if bin_batch == 0:
         bin_batch = _auto_bin_batch(n_r, cq, cb, v)
+        if bin_batch == 0:
+            raise ValueError(
+                f"no legal VMEM-fitting bin batch at n_r={n_r}, cq={cq}, "
+                f"cb={cb}, v={v}; gate on search_kernel_fits() and use the "
+                "XLA path in rbc.search.bin_phase2 instead")
     bin_batch = min(bin_batch, n_r)
     assert n_r % bin_batch == 0, (n_r, bin_batch)
     grid = (n_r // bin_batch,)

@@ -112,19 +112,33 @@ def _auto_block_m(m: int, n_r: int) -> int:
 
 
 def _auto_bin_batch(n_r: int, cq: int, cb: int) -> int:
-    """Largest power-of-two bin batch (<= DEFAULT_BIN_BATCH) dividing n_r
-    that keeps the kernel's Mosaic stack + the (n_r, 8, 8) output (which
-    XLA may pin in VMEM, padded to (n_r, 8, 128)) under the 16 MB scoped
-    limit. Anchored on measurement: bin_batch=32 at cq=cb=128 allocates a
-    ~13.8 MB stack (~28 B per bin-slot-pair); n_r=1024 OOMed at 17.84 MB
-    with the same batch because its output pad is 4 MB."""
+    """Largest LEGAL power-of-two bin batch (<= DEFAULT_BIN_BATCH) dividing
+    n_r that keeps the kernel's Mosaic stack + the (n_r, 8, 8) output
+    (which XLA may pin in VMEM, padded to (n_r, 8, 128)) under the 16 MB
+    scoped limit. Anchored on measurement: bin_batch=32 at cq=cb=128
+    allocates a ~13.8 MB stack (~28 B per bin-slot-pair); n_r=1024 OOMed
+    at 17.84 MB with the same batch because its output pad is 4 MB.
+
+    Legality: the kernel's 2-D inputs get (bin_batch, cq)-shaped blocks
+    whose SUBLANE dim is bin_batch — Mosaic requires it to be a multiple
+    of 8 or equal to the full array dim (n_r). Returns 0 when no legal
+    batch fits the VMEM budget (big-capacity shapes, e.g. mean occupancy
+    >= 256); callers fall back to the identical-math XLA twin."""
     out_bytes = n_r * 8 * 128 * 4
     budget = 15 * 1024 * 1024 - out_bytes
     per_bin = 28 * cq * cb
-    bb = DEFAULT_BIN_BATCH
-    while bb > 1 and (bb * per_bin > budget or n_r % bb != 0):
+    bb = min(DEFAULT_BIN_BATCH, n_r)
+    while bb >= 8 and (bb * per_bin > budget or n_r % bb != 0):
         bb //= 2
+    if bb < 8 and not (bb == n_r and bb * per_bin <= budget):
+        return 0
     return bb
+
+
+def moments_kernel_fits(n_r: int, cq: int, cb: int) -> bool:
+    """True when :func:`bin_point_moments_pallas` has a legal VMEM-fitting
+    auto bin batch at this shape (else callers use the XLA twin)."""
+    return _auto_bin_batch(n_r, cq, cb) > 0
 
 
 # ---------------------------------------------------------------------------
@@ -371,6 +385,11 @@ def bin_point_moments_pallas(mg: jnp.ndarray, qvalid: jnp.ndarray,
     cb = bins_c.shape[1]
     if bin_batch == 0:
         bin_batch = _auto_bin_batch(n_r, cq, cb)
+        if bin_batch == 0:
+            raise ValueError(
+                f"no legal VMEM-fitting bin batch at n_r={n_r}, cq={cq}, "
+                f"cb={cb}; gate on moments_kernel_fits() and use "
+                "bin_point_moments_ref instead")
     bin_batch = min(bin_batch, n_r)
     assert n_r % bin_batch == 0, (n_r, bin_batch)
     grid = (n_r // bin_batch,)

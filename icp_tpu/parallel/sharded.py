@@ -49,6 +49,7 @@ from icp_tpu.kernels.fused_step import (
     assemble_point_moments,
     bin_point_moments_pallas,
     bin_point_moments_ref,
+    moments_kernel_fits,
     point_moment_partials,
     prep_similarity,
 )
@@ -156,7 +157,9 @@ def _point_partials(local: RBCIndex, moving_local: jnp.ndarray,
     G, b_row = prep_similarity(state.q, state.t, state.s)
     weighted = config.weighting is Weighting.WEIGHTED
     robust = config.robust.value
-    if config.use_pallas and jax.default_backend() == "tpu":
+    if (config.use_pallas and jax.default_backend() == "tpu"
+            and moments_kernel_fits(mg.shape[0], mg.shape[1],
+                                    local.bins_centered.shape[1])):
         P_b = bin_point_moments_pallas(
             mg, qvalid, local.reps, local.bins_centered, local.sq_b_masked,
             G, b_row, params.alpha, weighted=weighted, robust=robust,

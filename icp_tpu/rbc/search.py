@@ -83,6 +83,15 @@ def bin_phase2(bins: jnp.ndarray, bins_centered: jnp.ndarray,
        matched_g (n_b, cq, 8), matched_n (n_b, cq, 3)).
     """
     if use_pallas:
+        from icp_tpu.kernels.bin_search import (
+            bin_search_pallas,
+            search_kernel_fits,
+        )
+
+        v = 12 if with_normals else bins.shape[2]
+        use_pallas = search_kernel_fits(bins.shape[0], qg_w.shape[1],
+                                        bins.shape[1], v)
+    if use_pallas:
         from icp_tpu.kernels.bin_search import bin_search_pallas
 
         if with_normals:
@@ -219,6 +228,11 @@ def rbc_point_moments_grouped(index: RBCIndex, mg: jnp.ndarray,
         point_moments_from_P,
     )
 
+    if use_pallas:
+        from icp_tpu.kernels.fused_step import moments_kernel_fits
+
+        use_pallas = moments_kernel_fits(
+            mg.shape[0], mg.shape[1], index.bins_centered.shape[1])
     if use_pallas:
         P = bin_point_moments_pallas(
             mg, qvalid, index.reps, index.bins_centered, index.sq_b_masked,

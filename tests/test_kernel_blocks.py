@@ -48,8 +48,70 @@ def test_search_bin_batch_shrinks_at_gicp_payload():
     assert 256 % bb == 0
 
 
-def test_batches_always_divide():
+def test_batches_always_divide_and_are_mosaic_legal():
+    """Every non-zero batch must divide n_r AND satisfy Mosaic's sublane
+    rule for the kernels' (bin_batch, capacity) 2-D blocks: a multiple of
+    8 or the full array dim. 0 = no legal batch fits VMEM (callers fall
+    back to the XLA twin)."""
     for n_r in (4, 16, 64, 256, 1024):
         for cap in (16, 128, 256, 512):
-            assert n_r % moments_bb(n_r, cap, cap) == 0
-            assert n_r % search_bb(n_r, cap, cap, 8) == 0
+            for bb in (moments_bb(n_r, cap, cap),
+                       search_bb(n_r, cap, cap, 8)):
+                if bb == 0:
+                    continue
+                assert n_r % bb == 0, (n_r, cap, bb)
+                assert bb % 8 == 0 or bb == n_r, (n_r, cap, bb)
+
+
+def test_big_capacity_shapes_fall_back():
+    """m=65536, n_r=256 (mean occupancy 256 -> capacities 384/512): the
+    old auto sizing returned bin_batch=2, whose (2, 384) block violates
+    Mosaic's sublane tiling and failed to LOWER on hardware. Auto must
+    return 0 (XLA-twin fallback) instead."""
+    assert moments_bb(256, 384, 512) == 0
+    assert search_bb(16, 512, 512, 12) == 0
+
+    import jax.numpy as jnp
+    import pytest
+
+    from icp_tpu.kernels.fused_step import (
+        bin_point_moments_pallas,
+        moments_kernel_fits,
+    )
+
+    assert not moments_kernel_fits(256, 384, 512)
+    assert moments_kernel_fits(256, 96, 128)  # flagship still kernels
+    z = jnp.zeros
+    with pytest.raises(ValueError, match="moments_kernel_fits"):
+        bin_point_moments_pallas(
+            z((256, 384, 8)), z((256, 384)), z((256, 8)), z((256, 512, 8)),
+            z((256, 512)), jnp.eye(8), z((1, 8)), 1.0, weighted=True,
+            interpret=True)
+
+
+def test_fused_path_falls_back_at_big_capacity(rng):
+    """rbc_point_moments with use_pallas=True at a no-legal-batch shape
+    must silently take the XLA twin (not raise), and match it exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from icp_tpu.icp.state import identity_state
+    from icp_tpu.rbc.construct import rbc_construct
+    from icp_tpu.rbc.search import rbc_point_moments
+    from tests.utils import make_cloud8
+
+    db = make_cloud8(rng, 256)
+    reps = db[rng.choice(256, 4, replace=False)]
+    idx = rbc_construct(jnp.asarray(db), jnp.asarray(reps),
+                        jnp.float32(150.0), 512)  # cb=512 with n_r=4
+    moving = jnp.asarray(make_cloud8(rng, 256))
+    st = identity_state()
+    kw = dict(weighted=True)
+    out_p = rbc_point_moments(idx, moving, st.q, st.t, st.s,
+                              jnp.float32(150.0), jnp.float32(1e-6), 512,
+                              use_pallas=True, interpret=True, **kw)
+    out_r = rbc_point_moments(idx, moving, st.q, st.t, st.s,
+                              jnp.float32(150.0), jnp.float32(1e-6), 512,
+                              use_pallas=False, **kw)
+    for a, b in zip(out_p, out_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
