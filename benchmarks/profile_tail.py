@@ -42,7 +42,7 @@ def main():
     def search_only():
         def body(i, st):
             tm = transform_points(moving, st.q, st.t, st.s)
-            mv, mf, nd, mask, mn = _find_correspondences(tm, index, params,
+            mv, mf, nd, mask, mn, _ = _find_correspondences(tm, index, params,
                                                          config)
             # Minimal consumption: tiny reductions only.
             delta = jnp.mean(nd) * 1e-20
@@ -52,7 +52,7 @@ def main():
     def search_weights():
         def body(i, st):
             tm = transform_points(moving, st.q, st.t, st.s)
-            mv, mf, nd, mask, mn = _find_correspondences(tm, index, params,
+            mv, mf, nd, mask, mn, _ = _find_correspondences(tm, index, params,
                                                          config)
             pv = jnp.logical_and(jnp.sum(jnp.abs(mv[..., :3]), -1) > 0,
                                  jnp.sum(jnp.abs(mf[..., :3]), -1) > 0)
@@ -65,7 +65,7 @@ def main():
     def search_moments():
         def body(i, st):
             tm = transform_points(moving, st.q, st.t, st.s)
-            mv, mf, nd, mask, mn = _find_correspondences(tm, index, params,
+            mv, mf, nd, mask, mn, _ = _find_correspondences(tm, index, params,
                                                          config)
             pv = jnp.logical_and(jnp.sum(jnp.abs(mv[..., :3]), -1) > 0,
                                  jnp.sum(jnp.abs(mf[..., :3]), -1) > 0)

@@ -92,6 +92,18 @@ def test_two_process_point_dp():
     np.testing.assert_allclose(T[4:7], T_single[4:7], atol=0.2)
 
 
+def test_two_process_point_dp2_mp2():
+    """POINT on a 2 procs x 2 devices (dp=2, mp=2) mesh: the fused
+    grouped moment partials psum across the process boundary AND the
+    phase-1 min-with-payload combine crosses it (mp splits between
+    devices of each process) — the full production layout of the
+    flagship objective."""
+    T = _run_pair("point", n_local=2, n_dp=2, n_mp=2)
+    T_single = _single("point")
+    np.testing.assert_allclose(T[:4], T_single[:4], atol=5e-4)
+    np.testing.assert_allclose(T[4:7], T_single[4:7], atol=0.2)
+
+
 def test_two_process_plane_dp2_mp2():
     """2 procs x 2 devices: dp spans the process boundary, mp intra-host."""
     T = _run_pair("plane", n_local=2, n_dp=2, n_mp=2)
