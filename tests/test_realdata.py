@@ -92,6 +92,40 @@ def test_terrain_registration(terrain_pair, objective, t_bound, a_bound):
     assert a_err < a_bound, (a_err, objective)
 
 
+def test_raw_lidar_unorganized_knn_registration(terrain):
+    """RAW LiDAR sweep registration: a random subsample of the real
+    terrain points — NO camera projection, NO grid organization — under a
+    known rigid transform, with normal_mode="knn" providing the PLANE
+    normals the organized-grid estimator cannot. This is the LiDAR
+    workflow (scan-to-scan matching on scattered points)."""
+    from icp_tpu.icp.quaternion import qrotate, transform_points
+
+    pts, rgb = terrain
+    rng = np.random.default_rng(3)
+    sel = rng.choice(pts.shape[0], 4096, replace=False)
+    fixed = np.ones((4096, 8), np.float32)
+    fixed[:, :3] = pts[sel]
+    fixed[:, 4:7] = rgb[sel]
+
+    th = 0.01
+    q = np.array([0.0, np.sin(th / 2), 0.0, np.cos(th / 2)], np.float32)
+    t = np.array([15.0, -9.0, 6.0], np.float32)
+    qi = qconj(jnp.asarray(q))
+    moving = transform_points(jnp.asarray(fixed), qi,
+                              -qrotate(qi, jnp.asarray(t)), jnp.float32(1.0))
+
+    config = ICPConfig(m=4096, n_r=64, objective=Objective.PLANE,
+                       normal_mode="knn", estimate_scale=False)
+    st = jax.block_until_ready(register(
+        jnp.asarray(fixed), moving, ICPParams(alpha=2e2).as_f32(), config))
+    t_err = float(jnp.linalg.norm(st.t - jnp.asarray(t)))
+    a_err = float(qangle_deg(qmul(st.q, qconj(jnp.asarray(q)))))
+    # Exact correspondences exist (same sample set), so the floor is the
+    # solver itself; bounds carry ~10x headroom over measured.
+    assert t_err < 0.5, t_err
+    assert a_err < 0.05, a_err
+
+
 def test_wall_alpha_contract_real_texture():
     """The kg_pc8d_wall contract on a REAL photograph: frontal wall,
     motion ~2.5x the landmark pitch. Geometry alone (alpha -> 0) misses
