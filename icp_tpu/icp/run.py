@@ -51,6 +51,19 @@ def icp_run(moving8: jnp.ndarray, target: Union[RBCIndex, jnp.ndarray],
     """
     state = identity_state(moving8.dtype) if init is None else init
 
+    # The moving cloud's normals (symmetric-plane / GICP side channel) are
+    # loop-invariant: estimate them ONCE here, not in every body iteration
+    # (XLA does not hoist the kNN estimator's eigh/map out of the loop —
+    # recomputing it in-body costs ~1 ms x iterations at 16k points).
+    if (config.objective is Objective.GICP
+            or (config.objective is Objective.PLANE
+                and config.plane_symmetric)):
+        from icp_tpu.ops.normals import normals_for
+
+        mnormals = normals_for(moving8, config.normal_mode)
+    else:
+        mnormals = None
+
     # The convergence test runs INSIDE the body (fused into the iteration's
     # epilogue) and rides the carry as a boolean, so the while_loop's cond
     # is pure scalar logic on carried values. Evaluating converged() in the
@@ -67,7 +80,8 @@ def icp_run(moving8: jnp.ndarray, target: Union[RBCIndex, jnp.ndarray],
 
     def body(carry):
         s, _ = carry
-        ns = icp_step(s, moving8, target, params, config)
+        ns = icp_step(s, moving8, target, params, config,
+                      moving_normals=mnormals)
         return ns, converged(ns, params)
 
     # NOTE (measured, do not resurrect without a same-session A/B): a

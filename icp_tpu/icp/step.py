@@ -104,7 +104,8 @@ def _find_correspondences(tm: jnp.ndarray, target: Union[RBCIndex, jnp.ndarray],
 
 def icp_step(state: ICPState, moving8: jnp.ndarray,
              target: Union[RBCIndex, jnp.ndarray],
-             params: ICPParams, config: ICPConfig) -> ICPState:
+             params: ICPParams, config: ICPConfig,
+             moving_normals: jnp.ndarray | None = None) -> ICPState:
     """Run one ICP iteration and return the updated state.
 
     Args:
@@ -115,6 +116,11 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
       target: RBCIndex (RBC mode) or (n, 8) fixed landmarks (brute mode).
       params: dynamic scalars.
       config: static configuration.
+      moving_normals: optional (m, 3) precomputed moving-cloud normals (the
+        symmetric-plane / GICP side channel). They are loop-invariant —
+        loop drivers hoist the estimation (kNN normals cost ~1 ms per
+        16k-point frame) and pass them here; None recomputes in-step
+        (direct single-step callers).
     """
     use_pallas = config.use_pallas and jax.default_backend() == "tpu"
 
@@ -164,10 +170,11 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
     # normals through the grouping as per-query side data.
     if ((config.objective is Objective.PLANE and config.plane_symmetric)
             or config.objective is Objective.GICP):
-        from icp_tpu.ops.normals import normals_for
+        if moving_normals is None:
+            from icp_tpu.ops.normals import normals_for
 
-        extra_rows = qrotate(state.q,
-                             normals_for(moving8, config.normal_mode))
+            moving_normals = normals_for(moving8, config.normal_mode)
+        extra_rows = qrotate(state.q, moving_normals)
     else:
         extra_rows = None
     mv, matched_f, nn_dist, mask, matched_n, extra = _find_correspondences(

@@ -46,12 +46,15 @@ def _auto_bin_batch(n_r: int, cq: int, cb: int, v: int) -> int:
     identical-math XLA path in rbc.search.bin_phase2)."""
     per_bin = 34 * cq * cb + 16 * cb * v
     budget = 15 * 1024 * 1024
-    bb = min(DEFAULT_BIN_BATCH, n_r)
-    while bb >= 8 and (bb * per_bin > budget or n_r % bb != 0):
-        bb //= 2
-    if bb < 8 and not (bb == n_r and bb * per_bin <= budget):
-        return 0
-    return bb
+    # Full-dim block is always Mosaic-legal; else only multiples of 8 that
+    # divide n_r (explicit candidates — halving a non-power-of-two start
+    # like 24 lands on illegal sublane sizes like 12).
+    if n_r <= DEFAULT_BIN_BATCH and n_r * per_bin <= budget:
+        return n_r
+    for bb in (32, 16, 8):
+        if bb <= n_r and n_r % bb == 0 and bb * per_bin <= budget:
+            return bb
+    return 0
 
 
 def search_kernel_fits(n_r: int, cq: int, cb: int, v: int) -> bool:

@@ -127,12 +127,17 @@ def _auto_bin_batch(n_r: int, cq: int, cb: int) -> int:
     out_bytes = n_r * 8 * 128 * 4
     budget = 15 * 1024 * 1024 - out_bytes
     per_bin = 28 * cq * cb
-    bb = min(DEFAULT_BIN_BATCH, n_r)
-    while bb >= 8 and (bb * per_bin > budget or n_r % bb != 0):
-        bb //= 2
-    if bb < 8 and not (bb == n_r and bb * per_bin <= budget):
-        return 0
-    return bb
+    # Full-dim block is always Mosaic-legal (sublane == array dim); capped
+    # at DEFAULT_BIN_BATCH (the measured grid-amortization anchor).
+    if n_r <= DEFAULT_BIN_BATCH and n_r * per_bin <= budget:
+        return n_r
+    # Otherwise only multiples of 8 that divide n_r are legal — explicit
+    # candidates, NOT halving (halving a non-power-of-two start like 24
+    # lands on illegal sublane sizes like 12).
+    for bb in (32, 16, 8):
+        if bb <= n_r and n_r % bb == 0 and bb * per_bin <= budget:
+            return bb
+    return 0
 
 
 def moments_kernel_fits(n_r: int, cq: int, cb: int) -> bool:

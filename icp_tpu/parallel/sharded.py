@@ -385,14 +385,19 @@ def make_sharded_register(mesh, config: ICPConfig):
     n_r_local = config.n_r // n_mp
     m_local = config.m // n_dp
     # Local query capacity: dp-local queries spread over the FULL rep
-    # range, so each locally-owned bin expects m_local / n_r = (m / n_r)
-    # / n_dp queries from this shard. Scale the configured (or auto)
-    # single-chip capacity by the same 1 / n_dp so the user's headroom
-    # multiplier — and the documented capacity/overflow trade-off — carry
-    # over to the sharded path; 8-aligned like the single-chip default
-    # (the query side is the sublane dim).
-    query_capacity = max(
-        (((config.query_capacity + n_dp - 1) // n_dp + 7) // 8) * 8, 8)
+    # range, so each locally-owned bin expects mu = m_local / n_r =
+    # (m / n_r) / n_dp queries from this shard. The configured (or auto)
+    # single-chip capacity scales by the same 1 / n_dp — but a pure
+    # multiplier under-provisions at small local means, where occupancy
+    # VARIANCE is relatively larger (Poisson tail: P(occ > 1.5 mu) grows
+    # as mu shrinks), so floor it at mu + 4 sqrt(mu) (~1e-4 tail under
+    # Poisson; real scans cluster worse, and overflow is a silent
+    # rep-fallback). 8-aligned (sublane dim); n_dp=1 reproduces the
+    # single-chip capacity exactly.
+    mu = max(m_local // config.n_r, 1)
+    floor = mu + int(4 * mu ** 0.5)
+    cap = max((config.query_capacity + n_dp - 1) // n_dp, floor)
+    query_capacity = max(((cap + 7) // 8) * 8, 8)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(DP_AXIS, None), P(DP_AXIS, None), P()),

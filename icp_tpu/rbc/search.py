@@ -15,8 +15,9 @@ neighborhood.
 Overflow/empty-bin fallback: a query whose group slot exceeds the static
 query capacity, or whose representative has an empty bin, matches the
 representative's own database point (``rep_db_ids``) at the already-computed
-query->representative distance. With the default 4x-mean capacities this is
-vanishingly rare; tests measure it.
+query->representative distance. At the default capacities (database 2x
+mean occupancy, query 1.5x) this hits <=~1% of queries on the worst
+measured scene with registration accuracy unchanged; tests measure it.
 """
 
 from __future__ import annotations
@@ -83,10 +84,7 @@ def bin_phase2(bins: jnp.ndarray, bins_centered: jnp.ndarray,
        matched_g (n_b, cq, 8), matched_n (n_b, cq, 3)).
     """
     if use_pallas:
-        from icp_tpu.kernels.bin_search import (
-            bin_search_pallas,
-            search_kernel_fits,
-        )
+        from icp_tpu.kernels.bin_search import search_kernel_fits
 
         v = 12 if with_normals else bins.shape[2]
         use_pallas = search_kernel_fits(bins.shape[0], qg_w.shape[1],

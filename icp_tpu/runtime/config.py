@@ -136,10 +136,10 @@ class ICPConfig:
       max_iterations: iteration cap of the registration loop (reference
         default 40, include/ICP/algorithms.hpp:2440).
       bin_capacity: static per-representative database-bin capacity for the
-        RBC structure. Mean occupancy is m / n_r; the default 4x mean makes
-        overflow vanishingly rare on scan data. Overflowing database points
-        are dropped from their bin (masked), mirroring the fixed-capacity
-        idiom TPU static shapes require.
+        RBC structure. Mean occupancy is m / n_r; the default 2x mean
+        (128-lane rounded) makes overflow vanishingly rare on scan data.
+        Overflowing database points are dropped from their bin (masked),
+        mirroring the fixed-capacity idiom TPU static shapes require.
       query_capacity: static per-bin query capacity for the grouped RBC
         search. Queries overflowing their bin fall back to their nearest
         representative (a real database point) as the match. The default

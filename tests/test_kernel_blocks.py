@@ -53,7 +53,9 @@ def test_batches_always_divide_and_are_mosaic_legal():
     rule for the kernels' (bin_batch, capacity) 2-D blocks: a multiple of
     8 or the full array dim. 0 = no legal batch fits VMEM (callers fall
     back to the XLA twin)."""
-    for n_r in (4, 16, 64, 256, 1024):
+    # Includes NON-power-of-two n_r: halving a start like 24 once landed
+    # on the illegal sublane size 12 (neither x8 nor full-dim).
+    for n_r in (4, 16, 20, 24, 28, 48, 64, 192, 256, 1024):
         for cap in (16, 128, 256, 512):
             for bb in (moments_bb(n_r, cap, cap),
                        search_bb(n_r, cap, cap, 8)):
@@ -61,6 +63,10 @@ def test_batches_always_divide_and_are_mosaic_legal():
                     continue
                 assert n_r % bb == 0, (n_r, cap, bb)
                 assert bb % 8 == 0 or bb == n_r, (n_r, cap, bb)
+    # The regression shape the halving bug produced: n_r=24 at capacities
+    # where the full-dim block exceeds budget but 12 would "fit".
+    for bb in (moments_bb(24, 128, 256), search_bb(24, 128, 256, 12)):
+        assert bb in (0, 8), bb
 
 
 def test_big_capacity_shapes_fall_back():
