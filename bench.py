@@ -107,6 +107,27 @@ def main() -> None:
     plane_ok, plane_t, plane_a = gate(
         ICPConfig(estimate_scale=False, objective=Objective.PLANE), 1.0, 0.05)
     measure_block()
+    # Robust gate: 12% gross outliers injected into the moving landmarks;
+    # the TRIMMED M-estimator (REGULAR weighting, so the robust kernel is
+    # the only outlier defense) must still land on the truth.
+    from icp_tpu import RobustKernel, Weighting
+
+    rng_out = np.random.default_rng(5)
+    lb_dirty = np.array(lb, copy=True)
+    out_idx = rng_out.choice(lb_dirty.shape[0], lb_dirty.shape[0] // 8,
+                             replace=False)
+    lb_dirty[out_idx, :3] += (
+        rng_out.uniform(250, 500, (len(out_idx), 3))
+        * rng_out.choice([-1.0, 1.0], (len(out_idx), 3))).astype(np.float32)
+    # PLANE objective: the rendered-pair POINT floor is the ~3 mm sample
+    # lattice (that is what the PLANE gate exists to beat), so the robust
+    # gate must use PLANE to see sub-mm through the contamination.
+    robust_ok, robust_t, robust_a = gate(
+        ICPConfig(estimate_scale=False, objective=Objective.PLANE,
+                  weighting=Weighting.REGULAR,
+                  robust=RobustKernel.TRIMMED, robust_adaptive=True),
+        1.0, 0.05, moving=jnp.asarray(lb_dirty))
+    measure_block()
     # GICP: plane-to-plane Mahalanobis, same sub-mm class as PLANE.
     gicp_ok, gicp_t, gicp_a = gate(
         ICPConfig(estimate_scale=False, objective=Objective.GICP), 1.0, 0.05)
@@ -141,13 +162,16 @@ def main() -> None:
         "value": round(per_iter_ms, 4),
         "unit": "ms/iteration",
         "vs_baseline": round(BASELINE_MS / per_iter_ms, 3),
-        "accuracy_ok": bool(plane_ok and gicp_ok and pyramid_ok),
+        "accuracy_ok": bool(plane_ok and gicp_ok and pyramid_ok
+                            and robust_ok),
         "plane_t_err_mm": round(plane_t, 4),
         "plane_ang_err_deg": round(plane_a, 5),
         "gicp_t_err_mm": round(gicp_t, 4),
         "gicp_ang_err_deg": round(gicp_a, 5),
         "pyramid_t_err_mm": round(pyr_t, 4),
         "pyramid_ang_err_deg": round(pyr_a, 5),
+        "robust_t_err_mm": round(robust_t, 4),
+        "robust_ang_err_deg": round(robust_a, 5),
     }))
 
 
