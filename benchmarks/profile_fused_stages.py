@@ -106,10 +106,11 @@ def profile_shape(m, n_r):
                     m_, qvalid, index.reps, index.bins_centered,
                     index.sq_b_masked, G, b_row, params.alpha, weighted=True)
                 S11, mf, mm_, W = point_moments_from_P(P, index.reps,
-                                                       params.c)
+                                                       params.c,
+                                                       index.moment_w)
                 return m_ * (1.0 + S11[0] * 1e-30)
             return body
-        t4 = timed("  + moment translation (XLA tail)", tail_body, mg)
+        t4 = timed("  + moment translation (hoisted W matvec)", tail_body, mg)
 
     def step_body():
         def body(i, st):

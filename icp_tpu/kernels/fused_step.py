@@ -456,7 +456,8 @@ def bin_point_moments_ref(mg: jnp.ndarray, qvalid: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def point_moment_partials(P: jnp.ndarray, reps: jnp.ndarray) -> jnp.ndarray:
+def point_moment_partials(P: jnp.ndarray, reps: jnp.ndarray,
+                          W_t: jnp.ndarray | None = None) -> jnp.ndarray:
     """Translate per-bin rep-centered moments to common-frame global sums.
 
     Exact algebra over n_r rows (for each bin with rep r, weights w and
@@ -467,12 +468,27 @@ def point_moment_partials(P: jnp.ndarray, reps: jnp.ndarray) -> jnp.ndarray:
     Args:
       P: (n_b, 8, 8) from the moment kernel.
       reps: (n_b, 8) the bins' representatives.
+      W_t: optional (n_b, 8, 8, 18) hoisted translation tensor
+        (:func:`point_translation_tensor`). The translation is LINEAR in P
+        with coefficients depending only on the loop-invariant reps, so
+        with W_t the whole tail is ONE (1, n_b*64) x (n_b*64, 18) matmul.
+        The direct form below is ~20 tiny slice/outer/sum kernels: timed
+        in isolation they cost ~0.1 ms (profile_fused_stages.py), but XLA
+        overlaps most of that inside the real loop — the interleaved
+        full-loop A/B (benchmarks/profile_translation_ab.py, v5e) shows
+        ~2% per iteration (0.370 vs 0.377 ms), plus a smaller launch
+        graph (fewer tiny kernels = less slow-window drift surface).
     Returns:
       (18,) vector [W, Sm(3), Sf(3), Smf(9), Sff, Smm] of PRE-mean-
       subtraction sums — additive across disjoint bin sets, so shards
       ``psum`` this vector (the entire per-iteration POINT collective
       payload) before :func:`assemble_point_moments`.
     """
+    if W_t is not None:
+        n_b = P.shape[0]
+        return jax.lax.dot_general(
+            P.reshape(1, n_b * 64), W_t.reshape(n_b * 64, 18),
+            (((1,), (0,)), ((), ())), precision=_HI).reshape(18)
     r = reps[:, :3]
     s0 = P[:, 3, 3]
     sm = P[:, 0:3, 3]
@@ -496,6 +512,25 @@ def point_moment_partials(P: jnp.ndarray, reps: jnp.ndarray) -> jnp.ndarray:
     Smm = jnp.sum(smm + 2.0 * jnp.sum(sm * r, axis=1) + s0 * r2)
     return jnp.concatenate([
         jnp.stack([W]), Sm, Sf, Smf.reshape(9), jnp.stack([Sff, Smm])])
+
+
+def point_translation_tensor(reps: jnp.ndarray) -> jnp.ndarray:
+    """Hoisted coefficients of the per-bin moment translation.
+
+    :func:`point_moment_partials` is linear in P (every term carries
+    exactly one P factor) with coefficients built from the bins'
+    representatives — which are LOOP-INVARIANT. This returns the
+    (n_b, 8, 8, 18) tensor W_t with ``sums[k] = sum_{b,i,j} P[b,i,j] *
+    W_t[b,i,j,k]``, computed ONCE at index-build time, turning the
+    per-iteration tail into a single MXU matvec.
+
+    Built with ``jacrev`` of the direct algebra, so the two forms cannot
+    drift apart. Leading axis is n_b so mp shards slice it like the other
+    per-bin index fields (parallel.sharded._slice_index_for_mp).
+    """
+    jac = jax.jacrev(lambda P: point_moment_partials(P, reps))(
+        jnp.zeros((reps.shape[0], 8, 8), reps.dtype))  # (18, n_b, 8, 8)
+    return jnp.transpose(jac, (1, 2, 3, 0))
 
 
 def assemble_point_moments(sums: jnp.ndarray, c):
@@ -532,6 +567,7 @@ def assemble_point_moments(sums: jnp.ndarray, c):
     return S11, mean_f, mean_m, W
 
 
-def point_moments_from_P(P: jnp.ndarray, reps: jnp.ndarray, c):
+def point_moments_from_P(P: jnp.ndarray, reps: jnp.ndarray, c,
+                         W_t: jnp.ndarray | None = None):
     """Single-device composition: per-bin P matrices -> Horn inputs."""
-    return assemble_point_moments(point_moment_partials(P, reps), c)
+    return assemble_point_moments(point_moment_partials(P, reps, W_t), c)

@@ -107,6 +107,7 @@ def _slice_index_for_mp(index: RBCIndex, n_r_local: int) -> RBCIndex:
         alpha=index.alpha,
         normals=index.normals,
         bin_normals=sl(index.bin_normals),
+        moment_w=sl(index.moment_w),
     )
 
 
@@ -169,7 +170,7 @@ def _point_partials(local: RBCIndex, moving_local: jnp.ndarray,
             mg, qvalid, local.reps, local.bins_centered, local.sq_b_masked,
             G, b_row, params.alpha, weighted=weighted, robust=robust,
             robust_delta=params.robust_delta)
-    return point_moment_partials(P_b, local.reps)
+    return point_moment_partials(P_b, local.reps, local.moment_w)
 
 
 def _grouped_pairs(local: RBCIndex, tm: jnp.ndarray, params: ICPParams,

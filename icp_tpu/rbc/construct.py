@@ -21,6 +21,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from icp_tpu.kernels.fused_step import point_translation_tensor
 from icp_tpu.ops.distance import pairwise_sq_dists
 from icp_tpu.rbc.grouping import GroupedRows, group_rows_by_bin
 
@@ -55,6 +56,12 @@ class RBCIndex(NamedTuple):
     alpha: jnp.ndarray
     normals: jnp.ndarray  # (n, 3) fixed-surface normals (zeros if unused)
     bin_normals: jnp.ndarray  # (n_r, capacity, 3)
+    # (n_r, 8, 8, 18) hoisted POINT moment-translation coefficients
+    # (kernels.fused_step.point_translation_tensor) — loop-invariant, so
+    # the per-iteration grouped-moment tail is one MXU matvec instead of
+    # ~20 tiny slice/outer/sum kernels (~2% per iteration interleaved
+    # A/B on a v5e; benchmarks/profile_translation_ab.py).
+    moment_w: jnp.ndarray
 
 
 def rbc_construct(db: jnp.ndarray, reps: jnp.ndarray, alpha,
@@ -128,4 +135,5 @@ def rbc_construct(db: jnp.ndarray, reps: jnp.ndarray, alpha,
         alpha=jnp.asarray(alpha, db.dtype),
         normals=normals,
         bin_normals=bin_normals,
+        moment_w=point_translation_tensor(reps),
     )

@@ -241,7 +241,7 @@ def rbc_point_moments_grouped(index: RBCIndex, mg: jnp.ndarray,
             mg, qvalid, index.reps, index.bins_centered, index.sq_b_masked,
             G, b_row, alpha, weighted=weighted, robust=robust,
             robust_delta=robust_delta)
-    return point_moments_from_P(P, index.reps, c)
+    return point_moments_from_P(P, index.reps, c, index.moment_w)
 
 
 def rbc_point_moments(index: RBCIndex, moving8: jnp.ndarray,

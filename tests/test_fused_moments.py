@@ -100,6 +100,23 @@ def test_fused_invalid_points_dropped(rng):
                                atol=0.05)
 
 
+def test_hoisted_translation_tensor_matches_direct(rng):
+    """point_moment_partials via the hoisted W_t matvec == the direct
+    per-term algebra, at realistic rep magnitudes (the coefficients carry
+    r_d*r_e ~ 4e6 products — this pins the matmul path's f32 fidelity)."""
+    from icp_tpu.kernels.fused_step import (
+        point_moment_partials,
+        point_translation_tensor,
+    )
+
+    reps = jnp.asarray(make_cloud8(rng, 32))
+    P = jnp.asarray(rng.normal(size=(32, 8, 8)).astype(np.float32) * 50.0)
+    direct = point_moment_partials(P, reps)
+    fast = point_moment_partials(P, reps, point_translation_tensor(reps))
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(direct),
+                               rtol=2e-5, atol=1e-2)
+
+
 def test_fused_transform_recovery(rng):
     """End-to-end sanity: one fused-step solve from a small offset moves
     strongly toward the known truth (interpret-mode kernels)."""
