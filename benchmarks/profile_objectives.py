@@ -55,10 +55,15 @@ def main():
         "POINT (fused)": dataclasses.replace(base),
         "POINT regular": dataclasses.replace(base,
                                              weighting=Weighting.REGULAR),
-        "PLANE": dataclasses.replace(base, objective=Objective.PLANE),
-        "GICP": dataclasses.replace(base, objective=Objective.GICP),
+        "PLANE (fused)": dataclasses.replace(base,
+                                             objective=Objective.PLANE),
+        "PLANE (grouped)": dataclasses.replace(
+            base, objective=Objective.PLANE, fused_gn=False),
+        "GICP (fused)": dataclasses.replace(base, objective=Objective.GICP),
+        "GICP (grouped)": dataclasses.replace(
+            base, objective=Objective.GICP, fused_gn=False),
     }
-    pcfg = variants["PLANE"]
+    pcfg = variants["PLANE (fused)"]
     index = jax.block_until_ready(
         jax.jit(lambda f: build_index(f, params, pcfg))(fixed))
     mnormals = jax.block_until_ready(

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from icp_tpu.icp.horn import solve_step_transform
 from icp_tpu.icp.plane import solve_point_to_plane
+from icp_tpu.kernels.fused_gn import gn_system_from_V
 from icp_tpu.icp.quaternion import qmul, qnormalize, qrotate, transform_points
 from icp_tpu.icp.state import ICPState
 from icp_tpu.ops.distance import nearest_neighbor_brute
@@ -146,6 +147,51 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
         qk, tk, sk = solve_step_transform(
             S11, mean_f, mean_m, mode=config.rotation.value,
             estimate_scale=config.estimate_scale)
+        q = qnormalize(qmul(qk, state.q))
+        t = sk * qrotate(qk, state.t) + tk
+        s = sk * state.s
+        return ICPState(q=q, t=t, s=s, qk=qk, tk=tk, sk=sk, k=state.k + 1)
+
+    # Fast path for the normal-consuming objectives: same two-pass fused
+    # pipeline as POINT, with the whole Gauss-Newton system built in-kernel
+    # as per-bin 8x8 moments (kernels/fused_gn.py). Adaptive robust scale
+    # needs per-pair residuals (median), so it takes the grouped path.
+    if (config.fused_gn
+            and config.correspondence is Correspondence.RBC
+            and config.objective in (Objective.PLANE, Objective.GICP)
+            and not (config.robust_adaptive
+                     and config.robust.value != "none")):
+        from icp_tpu.icp.plane import (
+            CHARACTERISTIC_LENGTH_MM,
+            solve_plane_system,
+        )
+        from icp_tpu.rbc.search import rbc_gn_system
+
+        assert isinstance(target, RBCIndex)
+        if config.objective is Objective.GICP:
+            mode = "gicp"
+        elif config.plane_symmetric:
+            mode = "plane_sym"
+        else:
+            mode = "plane"
+        if mode != "plane":
+            if moving_normals is None:
+                from icp_tpu.ops.normals import normals_for
+
+                moving_normals = normals_for(moving8, config.normal_mode)
+            mnormals_rot = qrotate(state.q, moving_normals)
+        else:
+            mnormals_rot = None
+        V = rbc_gn_system(
+            target, moving8, state.q, state.t, state.s, params.alpha,
+            config.query_capacity, mode=mode,
+            weighted=config.weighting is Weighting.WEIGHTED,
+            use_pallas=use_pallas, robust=config.robust.value,
+            robust_delta=params.robust_delta,
+            gicp_eps=params.gicp_epsilon, mnormals_rot=mnormals_rot)
+        H, b = gn_system_from_V(V, CHARACTERISTIC_LENGTH_MM)
+        qk, tk = solve_plane_system(H, b)
+        sk = jnp.ones((), moving8.dtype)
         q = qnormalize(qmul(qk, state.q))
         t = sk * qrotate(qk, state.t) + tk
         s = sk * state.s

@@ -1,0 +1,365 @@
+"""Pallas TPU kernels: fused Gauss-Newton hot loop (PLANE / GICP).
+
+Extends the fused two-pass POINT pipeline (kernels/fused_step.py) to the
+normal-consuming objectives. The grouped-search path these objectives used
+materializes per-point tables (queries, matches, distances, normals — each
+(n_r, cq, >=8) padded to 128 lanes in HBM) and then runs the GN row
+reductions as separate XLA passes; measured 0.51 (PLANE) / 0.79 (GICP) vs
+0.39 ms/iteration for fused POINT at the flagship shape. This kernel
+collapses per-bin search + weighting + the ENTIRE GN system build into the
+same (n_r, 8, 8) per-bin moment output.
+
+The unifying algebra: every GN row of both objectives has the form
+
+    v = [u, m x u, u . (m - f), 1]          (8 lanes)
+
+for a direction u — the point-to-plane row with u = n (or the symmetric
+n_f + R n_m), and the GICP row TRIPLE with u_k = rows of L^{-1} where
+M = C_f + R C_m R^T = L L^T is the pair's 3x3 Mahalanobis denominator
+(closed-form Cholesky; SPD by construction with eigenvalues in [2 eps, 2],
+see icp.gicp.disk_covariance_sum). That works because
+
+    J^T M^{-1} J = (L^{-1} J)^T (L^{-1} J),   row_k(L^{-1} J) = u_k^T J,
+    u^T J = [u ; m x u]        (J = [I | -[m]_x], cross product linear in u)
+
+so GICP's anisotropically-weighted system is EXACTLY three plane-style
+rank-1 rows per pair — no per-pair eigendecomposition, no 3x3 solves.
+
+The per-bin moment matrix P_b = sum_i w_i v_i v_i^T (m CENTERED on the
+bin representative, m x u in raw mm) then carries the whole system:
+translation to the global frame is the per-bin congruence V = sum_b
+T_b P_b T_b^T with T_b = I + skew(rep_b) in the (3:6, 0:3) block — linear
+in P, so it is hoisted into a (n_b, 8, 8, 64) coefficient tensor at index
+build time exactly like the POINT translation (point_translation_tensor).
+After unit balancing (1/L on the rotation rows/cols):
+
+    H = V[0:6, 0:6],  b = V[0:6, 6],  sum w r^2 = V[6, 6],  3?sum w = V[7,7]
+
+feed icp_tpu.icp.plane.solve_plane_system unchanged.
+
+``*_ref`` twins implement identical math in plain XLA — the production
+path on CPU backends and the interpret-mode parity goldens.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from icp_tpu.kernels.fused_step import (
+    _HI,
+    _search_core,
+    DEFAULT_BIN_BATCH,
+)
+
+GN_MODES = ("plane", "plane_sym", "gicp")
+
+
+# Measured Mosaic stack bytes per bin-slot-pair (cq x cb), by mode — the
+# stack allocator does NOT reuse buffers across the GICP path's three
+# sequential row accumulations, so gicp is ~2.5x plane. Anchors (v5e,
+# cq=96, cb=128): plane bb=32 -> 17.80 MB (~45 B); gicp bb=16 ->
+# 21.41 MB (~109 B). The Mosaic OOM message reports the exact size
+# whenever these under-estimate.
+_GN_BYTES_PER_SLOT = {"plane": 50, "plane_sym": 60, "gicp": 118}
+
+
+def _auto_bin_batch_gn(n_r: int, cq: int, cb: int, mode: str) -> int:
+    """VMEM-aware bin batch for the GN kernel (same policy as
+    fused_step._auto_bin_batch, wider per-bin footprint: the 12-lane
+    matched payload, the scalar residual/Jacobian planes, and — in the
+    sym/gicp modes — the grouped moving-normal table)."""
+    out_bytes = n_r * 8 * 128 * 4
+    budget = 15 * 1024 * 1024 - out_bytes
+    per_bin = _GN_BYTES_PER_SLOT[mode] * cq * cb
+    if n_r <= DEFAULT_BIN_BATCH and n_r * per_bin <= budget:
+        return n_r
+    for bb in (32, 16, 8):
+        if bb <= n_r and n_r % bb == 0 and bb * per_bin <= budget:
+            return bb
+    return 0
+
+
+def gn_kernel_fits(n_r: int, cq: int, cb: int, mode: str) -> bool:
+    """True when :func:`bin_gn_moments_pallas` has a legal VMEM-fitting
+    auto bin batch at this shape (else callers use the XLA twin)."""
+    return _auto_bin_batch_gn(n_r, cq, cb, mode) > 0
+
+
+def _chol3_inv_rows(m11, m21, m22, m31, m32, m33):
+    """Rows of L^{-1} for the SPD 3x3 M = L L^T, all closed form.
+
+    Inputs/outputs are (BB, cq) scalar planes. M's eigenvalues lie in
+    [2 eps, 2] (disk covariances of unit normals), so every pivot is
+    >= 2 eps and the three rsqrt/divides are f32-safe.
+    """
+    l11 = jnp.sqrt(m11)
+    i11 = 1.0 / l11
+    l21 = m21 * i11
+    l31 = m31 * i11
+    l22 = jnp.sqrt(m22 - l21 * l21)
+    i22 = 1.0 / l22
+    l32 = (m32 - l31 * l21) * i22
+    l33 = jnp.sqrt(jnp.maximum(m33 - l31 * l31 - l32 * l32, 1e-12))
+    i33 = 1.0 / l33
+    u1 = (i11, None, None)
+    u2 = (-l21 * i11 * i22, i22, None)
+    u3 = ((l21 * l32 - l31 * l22) * (i11 * i22 * i33),
+          -l32 * i22 * i33, i33)
+    return u1, u2, u3
+
+
+def _gn_math(p, nm, qvalid, reps_blk, bins_vals, sq_b, G, b_row, alpha,
+             mode: str, weighted: bool, robust: str = "none", delta=None,
+             gicp_eps=None):
+    """Shared kernel/ref body.
+
+    Shapes: p (BB, cq, 8) RAW moving rows; nm (BB, cq, 3) moving-surface
+    normals ALREADY rotated into the fixed frame (sym/gicp modes; ignored
+    for "plane"); qvalid (BB, cq); reps_blk (BB, 8); bins_vals
+    (BB, cb, 12) = [rep-centered bin points (8) | fixed normals (3) | 0];
+    sq_b (BB, cb) masked |b|^2; G (8, 8), b_row (1, 8) accumulated
+    similarity (fused_step.prep_similarity). Returns P (BB, 8, 8).
+    """
+    qc, one_hot, w = _search_core(p, qvalid, reps_blk, bins_vals[..., :8],
+                                  sq_b, G, b_row, alpha, weighted, robust,
+                                  delta)
+    matched = jax.lax.dot_general(one_hot, bins_vals,
+                                  (((2,), (1,)), ((0,), (0,))),
+                                  precision=_HI)  # (BB, cq, 12)
+    mx, my, mz = qc[..., 0], qc[..., 1], qc[..., 2]
+    dx = mx - matched[..., 0]
+    dy = my - matched[..., 1]
+    dz = mz - matched[..., 2]
+    nfx, nfy, nfz = matched[..., 8], matched[..., 9], matched[..., 10]
+    ones = jnp.ones_like(mx)
+
+    def accum(P, ux, uy, uz):
+        # v = [u, m x u, u . (m - f), 1]; P += sum w v v^T on the MXU.
+        jx = my * uz - mz * uy
+        jy = mz * ux - mx * uz
+        jz = mx * uy - my * ux
+        r = dx * ux + dy * uy + dz * uz
+        v = jnp.stack([ux, uy, uz, jx, jy, jz, r, ones], axis=-1)
+        return P + jax.lax.dot_general(v * w[..., None], v,
+                                       (((1,), (1,)), ((0,), (0,))),
+                                       precision=_HI)
+
+    P = jnp.zeros(p.shape[:1] + (8, 8), p.dtype)
+    if mode == "plane":
+        return accum(P, nfx, nfy, nfz)
+    nmx, nmy, nmz = nm[..., 0], nm[..., 1], nm[..., 2]
+    if mode == "plane_sym":
+        # Rusinkiewicz symmetric objective: constrain along the averaged
+        # fixed+moving normal (zero rows self-mask to the one-sided case).
+        return accum(P, nfx + nmx, nfy + nmy, nfz + nmz)
+    # GICP: M = 2I - (1 - eps)(nf nf^T + nm nm^T), three rows of L^{-1}.
+    e = 1.0 - gicp_eps
+    m11 = 2.0 - e * (nfx * nfx + nmx * nmx)
+    m21 = -e * (nfx * nfy + nmx * nmy)
+    m22 = 2.0 - e * (nfy * nfy + nmy * nmy)
+    m31 = -e * (nfx * nfz + nmx * nmz)
+    m32 = -e * (nfy * nfz + nmy * nmz)
+    m33 = 2.0 - e * (nfz * nfz + nmz * nmz)
+    u1, u2, u3 = _chol3_inv_rows(m11, m21, m22, m31, m32, m33)
+    zeros = jnp.zeros_like(mx)
+    P = accum(P, u1[0], zeros, zeros)
+    P = accum(P, u2[0], u2[1], zeros)
+    return accum(P, u3[0], u3[1], u3[2])
+
+
+def _make_gn_kernel(mode: str, weighted: bool, robust: str, with_nm: bool):
+    if with_nm:
+        def kernel(p_ref, nm_ref, qvalid_ref, reps_ref, vals_ref, sq_b_ref,
+                   g_ref, b_ref, scal_ref, out_ref):
+            out_ref[:] = _gn_math(
+                p_ref[:], nm_ref[:], qvalid_ref[:], reps_ref[:], vals_ref[:],
+                sq_b_ref[:], g_ref[:], b_ref[:], scal_ref[0, 0], mode,
+                weighted, robust, scal_ref[0, 1], scal_ref[0, 2])
+    else:
+        def kernel(p_ref, qvalid_ref, reps_ref, vals_ref, sq_b_ref,
+                   g_ref, b_ref, scal_ref, out_ref):
+            out_ref[:] = _gn_math(
+                p_ref[:], None, qvalid_ref[:], reps_ref[:], vals_ref[:],
+                sq_b_ref[:], g_ref[:], b_ref[:], scal_ref[0, 0], mode,
+                weighted, robust, scal_ref[0, 1], scal_ref[0, 2])
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "weighted", "robust",
+                                             "bin_batch", "interpret"))
+def bin_gn_moments_pallas(mg: jnp.ndarray, nm: jnp.ndarray | None,
+                          qvalid: jnp.ndarray, reps: jnp.ndarray,
+                          bins_vals: jnp.ndarray, sq_b_masked: jnp.ndarray,
+                          G: jnp.ndarray, b_row: jnp.ndarray, alpha, *,
+                          mode: str, weighted: bool, robust: str = "none",
+                          robust_delta=0.0, gicp_eps=0.0,
+                          bin_batch: int = 0,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Fused per-bin search + weighting + GN-row moment reduction.
+
+    Args:
+      mg: (n_r, cq, 8) bin-grouped RAW moving rows (transform in-kernel).
+      nm: (n_r, cq, 3) grouped moving normals rotated into the fixed frame
+        (required for "plane_sym"/"gicp"; pass None for "plane").
+      qvalid: (n_r, cq) f32 slot validity from the grouping.
+      reps: (n_r, 8) representatives (per-bin centering).
+      bins_vals: (n_r, cb, 12) = [rep-centered bin points | normals | 0]
+        (RBCIndex.bins_vals12).
+      sq_b_masked: (n_r, cb) masked |b|^2 (+inf on invalid slots).
+      G, b_row: accumulated similarity (fused_step.prep_similarity).
+      alpha: photometric blend (traced scalar).
+      mode: "plane" | "plane_sym" | "gicp" (static).
+      weighted / robust / robust_delta: residual weighting as in the POINT
+        kernel (reference icpComputeReduceWeights x robust IRLS factor).
+      gicp_eps: disk-covariance thickness (traced; gicp mode only).
+      bin_batch: bins per grid step (0 = VMEM-aware auto).
+    Returns:
+      (n_r, 8, 8) per-bin GN moment matrices P_b in the rep-centered
+      frame (see module docstring for the lane layout).
+    """
+    assert mode in GN_MODES, mode
+    n_r, cq, d = mg.shape
+    cb = bins_vals.shape[1]
+    dv = bins_vals.shape[2]
+    with_nm = mode != "plane"
+    if bin_batch == 0:
+        bin_batch = _auto_bin_batch_gn(n_r, cq, cb, mode)
+        if bin_batch == 0:
+            raise ValueError(
+                f"no legal VMEM-fitting bin batch at n_r={n_r}, cq={cq}, "
+                f"cb={cb}; gate on gn_kernel_fits() and use "
+                "bin_gn_moments_ref instead")
+    bin_batch = min(bin_batch, n_r)
+    assert n_r % bin_batch == 0, (n_r, bin_batch)
+    grid = (n_r // bin_batch,)
+    scal_arr = jnp.stack([
+        jnp.asarray(alpha, mg.dtype),
+        jnp.asarray(robust_delta, mg.dtype),
+        jnp.asarray(gicp_eps, mg.dtype)]).reshape(1, 3)
+
+    def i3(i):
+        return (i, 0, 0)
+
+    def i2(i):
+        return (i, 0)
+
+    def full2(i):
+        return (0, 0)
+
+    in_specs = [pl.BlockSpec((bin_batch, cq, d), i3,
+                             memory_space=pltpu.VMEM)]
+    inputs = [mg]
+    if with_nm:
+        assert nm is not None, mode
+        in_specs.append(pl.BlockSpec((bin_batch, cq, nm.shape[2]), i3,
+                                     memory_space=pltpu.VMEM))
+        inputs.append(nm)
+    in_specs += [
+        pl.BlockSpec((bin_batch, cq), i2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bin_batch, d), i2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bin_batch, cb, dv), i3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bin_batch, cb), i2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, d), full2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), full2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    inputs += [qvalid, reps, bins_vals, sq_b_masked, G, b_row, scal_arr]
+
+    rows_per_pair = 3 if mode == "gicp" else 1
+    return pl.pallas_call(
+        _make_gn_kernel(mode, weighted, robust, with_nm),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bin_batch, d, d), i3,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_r, d, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * n_r * cq * cb * d * 2
+                   + 2 * n_r * cq * d * d * (1 + 2 * rows_per_pair)),
+            bytes_accessed=4 * n_r * (cq * d + cb * dv + cb + cq + d * d),
+            # 3 sqrt per pair for the GICP Cholesky; 1 rsqrt per pair for
+            # Huber's IRLS factor.
+            transcendentals=n_r * cq * (3 if mode == "gicp" else 0),
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+
+def bin_gn_moments_ref(mg: jnp.ndarray, nm: jnp.ndarray | None,
+                       qvalid: jnp.ndarray, reps: jnp.ndarray,
+                       bins_vals: jnp.ndarray, sq_b_masked: jnp.ndarray,
+                       G: jnp.ndarray, b_row: jnp.ndarray, alpha, *,
+                       mode: str, weighted: bool, robust: str = "none",
+                       robust_delta=0.0, gicp_eps=0.0) -> jnp.ndarray:
+    """Plain-XLA twin of :func:`bin_gn_moments_pallas` — the production
+    path on CPU backends and the interpret-parity golden."""
+    return _gn_math(mg, nm, qvalid, reps, bins_vals, sq_b_masked, G, b_row,
+                    jnp.asarray(alpha, mg.dtype), mode, weighted, robust,
+                    jnp.asarray(robust_delta, mg.dtype),
+                    jnp.asarray(gicp_eps, mg.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Assembly: per-bin P matrices -> global GN system
+# ---------------------------------------------------------------------------
+
+
+def _gn_T(reps: jnp.ndarray) -> jnp.ndarray:
+    """(n_b, 8, 8) per-bin frame-translation congruence factors:
+    identity + skew(rep_xyz) in the (3:6, 0:3) block, so that
+    v_global = T v_local (m x u picks up rep x u when de-centering m)."""
+    n_b = reps.shape[0]
+    rx, ry, rz = reps[:, 0], reps[:, 1], reps[:, 2]
+    z = jnp.zeros_like(rx)
+    S = jnp.stack([jnp.stack([z, -rz, ry], -1),
+                   jnp.stack([rz, z, -rx], -1),
+                   jnp.stack([-ry, rx, z], -1)], -2)  # (n_b, 3, 3)
+    T = jnp.tile(jnp.eye(8, dtype=reps.dtype), (n_b, 1, 1))
+    return T.at[:, 3:6, 0:3].set(S)
+
+
+def gn_v_total(P: jnp.ndarray, reps: jnp.ndarray,
+               W_t: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Global (8, 8) GN moment matrix V = sum_b T_b P_b T_b^T.
+
+    Additive across disjoint bin sets — shards ``psum`` this 64-float
+    matrix (the entire per-iteration PLANE/GICP collective payload).
+    With W_t (:func:`gn_translation_tensor`) the congruence is one hoisted
+    matvec, like the POINT translation.
+    """
+    if W_t is not None:
+        n_b = P.shape[0]
+        return jax.lax.dot_general(
+            P.reshape(1, n_b * 64), W_t.reshape(n_b * 64, 64),
+            (((1,), (0,)), ((), ())), precision=_HI).reshape(8, 8)
+    T = _gn_T(reps)
+    return jnp.einsum("bij,bjk,blk->il", T, P, T, precision=_HI)
+
+
+def gn_translation_tensor(reps: jnp.ndarray) -> jnp.ndarray:
+    """Hoisted (n_b, 8, 8, 64) coefficients of :func:`gn_v_total` (linear
+    in P, coefficients from the loop-invariant reps — same jacrev trick as
+    fused_step.point_translation_tensor)."""
+    jac = jax.jacrev(
+        lambda P: gn_v_total(P, reps).reshape(64))(
+        jnp.zeros((reps.shape[0], 8, 8), reps.dtype))  # (64, n_b, 8, 8)
+    return jnp.transpose(jac, (1, 2, 3, 0))
+
+
+def gn_system_from_V(V: jnp.ndarray, L: float):
+    """(H (6, 6), b (6,)) in icp.plane's balanced units from the global V.
+
+    The kernel builds m x u in raw millimeters; dividing the rotation
+    rows/cols by L here reproduces plane_system_partials' J = [u ;
+    (m x u) / L] balancing exactly (see icp.plane.CHARACTERISTIC_LENGTH_MM).
+    """
+    d = jnp.concatenate([jnp.ones((3,), V.dtype),
+                         jnp.full((3,), 1.0 / L, V.dtype),
+                         jnp.ones((2,), V.dtype)])
+    Vs = V * d[:, None] * d[None, :]
+    return Vs[0:6, 0:6], Vs[0:6, 6]

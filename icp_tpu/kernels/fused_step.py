@@ -284,15 +284,21 @@ def _shift_0to3_into_4to7(dtype):
     return jnp.logical_and(c == r + 4, r < 3).astype(dtype)
 
 
-def _moment_math(p, qvalid, reps_blk, bins_c, sq_b, G, b_row, alpha,
-                 weighted: bool, robust: str = "none", delta=None):
-    """Shared kernel/ref body. Shapes: p (BB, cq, 8), qvalid (BB, cq),
-    reps_blk (BB, 8), bins_c (BB, cb, 8), sq_b (BB, cb), G (8, 8),
-    b_row (1, 8), alpha scalar; robust/delta select and scale the optional
-    IRLS M-estimator factor (ops.moments.robust_factor). Returns P
-    (BB, 8, 8)."""
+def _search_core(p, qvalid, reps_blk, bins_c, sq_b, G, b_row, alpha,
+                 weighted: bool, robust: str, delta):
+    """Shared in-VMEM search front of the fused kernels.
+
+    Transform + per-bin rep centering, MXU bin scores, argmin, one-hot
+    winner selector, validity mask, and the composed residual weight
+    (reference icpComputeReduceWeights x optional robust IRLS factor).
+
+    Shapes: p (BB, cq, 8) RAW rows, qvalid (BB, cq), reps_blk (BB, 8),
+    bins_c (BB, cb, 8) rep-centered bin points, sq_b (BB, cb) masked
+    |b|^2 (+inf invalid), G (8, 8), b_row (1, 8).
+    Returns (qc (BB, cq, 8) transformed rep-centered queries,
+    one_hot (BB, cq, cb), w (BB, cq) validity-folded weights).
+    """
     lane = _lane_iota((1, 1, 8), 2)
-    # Transform + per-bin rep centering as one matmul + offset:
     # qc = (p @ G + b_row) - rep  (homogeneous lanes become exactly 0).
     off = b_row - reps_blk  # (BB, 8)
     tp = jax.lax.dot_general(p, G, (((2,), (0,)), ((), ())), precision=_HI)
@@ -313,13 +319,6 @@ def _moment_math(p, qvalid, reps_blk, bins_c, sq_b, G, b_row, alpha,
     cb = bins_c.shape[1]
     slot_ids = _lane_iota(best_slot.shape + (cb,), 2)
     one_hot = (slot_ids == best_slot[..., None]).astype(p.dtype)
-    # Winner's centered point, straight into u's lanes 4:7: fold the lane
-    # shift into a second tiny matmul (no in-VMEM concat/roll needed).
-    matched_shift = jax.lax.dot_general(
-        jax.lax.dot_general(one_hot, bins_c,
-                            (((2,), (1,)), ((0,), (0,))), precision=_HI),
-        _shift_0to3_into_4to7(p.dtype),
-        (((2,), (0,)), ((), ())), precision=_HI)
 
     # Validity: slot occupied AND original point non-zero (the reference
     # defers the invalid-point discard downstream of its samplers,
@@ -337,7 +336,28 @@ def _moment_math(p, qvalid, reps_blk, bins_c, sq_b, G, b_row, alpha,
         w = w * (100.0 / (100.0 + d2))  # reference icpComputeReduceWeights
     if robust != "none":
         w = w * robust_factor(d2, robust, delta)
+    return qc, one_hot, w
 
+
+def _moment_math(p, qvalid, reps_blk, bins_c, sq_b, G, b_row, alpha,
+                 weighted: bool, robust: str = "none", delta=None):
+    """Shared kernel/ref body. Shapes: p (BB, cq, 8), qvalid (BB, cq),
+    reps_blk (BB, 8), bins_c (BB, cb, 8), sq_b (BB, cb), G (8, 8),
+    b_row (1, 8), alpha scalar; robust/delta select and scale the optional
+    IRLS M-estimator factor (ops.moments.robust_factor). Returns P
+    (BB, 8, 8)."""
+    lane = _lane_iota((1, 1, 8), 2)
+    qc, one_hot, w = _search_core(p, qvalid, reps_blk, bins_c, sq_b, G,
+                                  b_row, alpha, weighted, robust, delta)
+    # Winner's centered point, straight into u's lanes 4:7: fold the lane
+    # shift into a second tiny matmul (no in-VMEM concat/roll needed).
+    matched_shift = jax.lax.dot_general(
+        jax.lax.dot_general(one_hot, bins_c,
+                            (((2,), (1,)), ((0,), (0,))), precision=_HI),
+        _shift_0to3_into_4to7(p.dtype),
+        (((2,), (0,)), ((), ())), precision=_HI)
+
+    mask03 = (lane < 3).astype(p.dtype)
     ones37 = jnp.logical_or(lane == 3, lane == 7).astype(p.dtype)
     u = qc * mask03 + matched_shift + ones37
     # The entire statistical tail of the reference pipeline (weights sum,

@@ -108,6 +108,9 @@ def _slice_index_for_mp(index: RBCIndex, n_r_local: int) -> RBCIndex:
         normals=index.normals,
         bin_normals=sl(index.bin_normals),
         moment_w=sl(index.moment_w),
+        bins_vals12=(None if index.bins_vals12 is None
+                     else sl(index.bins_vals12)),
+        gn_w=None if index.gn_w is None else sl(index.gn_w),
     )
 
 

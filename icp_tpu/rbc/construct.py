@@ -21,6 +21,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from icp_tpu.kernels.fused_gn import gn_translation_tensor
 from icp_tpu.kernels.fused_step import point_translation_tensor
 from icp_tpu.ops.distance import pairwise_sq_dists
 from icp_tpu.rbc.grouping import GroupedRows, group_rows_by_bin
@@ -62,6 +63,12 @@ class RBCIndex(NamedTuple):
     # ~20 tiny slice/outer/sum kernels (~2% per iteration interleaved
     # A/B on a v5e; benchmarks/profile_translation_ab.py).
     moment_w: jnp.ndarray
+    # Fused PLANE/GICP (kernels.fused_gn) hoisted invariants, None unless
+    # the index carries normals: (n_r, cb, 12) [centered points | normals]
+    # matched-gather payload and the (n_r, 8, 8, 64) GN frame-translation
+    # coefficients (gn_translation_tensor).
+    bins_vals12: jnp.ndarray | None
+    gn_w: jnp.ndarray | None
 
 
 def rbc_construct(db: jnp.ndarray, reps: jnp.ndarray, alpha,
@@ -94,6 +101,7 @@ def rbc_construct(db: jnp.ndarray, reps: jnp.ndarray, alpha,
         # when the representative is a database point.
         rep_db_ids = jnp.argmin(d2, axis=0).astype(jnp.int32)
 
+    with_normals = normals is not None
     if normals is None:
         normals = jnp.zeros((db.shape[0], 3), db.dtype)
     # One payload sort groups points, their database ids (exact in f32 up
@@ -136,4 +144,9 @@ def rbc_construct(db: jnp.ndarray, reps: jnp.ndarray, alpha,
         normals=normals,
         bin_normals=bin_normals,
         moment_w=point_translation_tensor(reps),
+        bins_vals12=(jnp.concatenate(
+            [bins_centered, bin_normals,
+             jnp.zeros(bins.shape[:2] + (1,), db.dtype)], axis=-1)
+            if with_normals else None),
+        gn_w=gn_translation_tensor(reps) if with_normals else None,
     )

@@ -285,6 +285,71 @@ def rbc_point_moments(index: RBCIndex, moving8: jnp.ndarray,
                                      interpret=interpret)
 
 
+def rbc_gn_system(index: RBCIndex, moving8: jnp.ndarray,
+                  q: jnp.ndarray, t: jnp.ndarray, s: jnp.ndarray,
+                  alpha, query_capacity: int, *, mode: str, weighted: bool,
+                  use_pallas: bool, robust: str = "none", robust_delta=0.0,
+                  gicp_eps=0.0, mnormals_rot: jnp.ndarray | None = None,
+                  interpret: bool = False) -> jnp.ndarray:
+    """FULLY-fused PLANE/GICP iteration front half: transform + rep
+    assignment + grouping + per-bin search + weighting + the whole GN
+    system build, mirroring :func:`rbc_point_moments` for the
+    normal-consuming objectives (kernels.fused_gn; identical-math XLA
+    twins serve CPU backends).
+
+    Args:
+      index: RBC structure built WITH normals (bins_vals12/gn_w present).
+      moving8: (m, 8) RAW moving landmarks.
+      q, t, s: accumulated similarity.
+      alpha: metric blend (traced scalar).
+      query_capacity: static per-bin query capacity.
+      mode: "plane" | "plane_sym" | "gicp" (static).
+      weighted / robust / robust_delta: residual weighting.
+      gicp_eps: disk-covariance thickness (gicp mode).
+      mnormals_rot: (m, 3) moving normals rotated into the fixed frame
+        (required for plane_sym/gicp; grouped alongside the queries).
+    Returns:
+      V (8, 8) global GN moment matrix — feed
+      kernels.fused_gn.gn_system_from_V then icp.plane.solve_plane_system.
+    """
+    from icp_tpu.kernels.fused_gn import (
+        bin_gn_moments_pallas,
+        bin_gn_moments_ref,
+        gn_kernel_fits,
+        gn_v_total,
+    )
+
+    assert index.bins_vals12 is not None, \
+        "rbc_gn_system needs an index built with normals"
+    n_r = index.reps.shape[0]
+    rid, G, b_row = rbc_point_assign(index, moving8, q, t, s, alpha,
+                                     use_pallas=use_pallas,
+                                     interpret=interpret)
+    rows = ((moving8,) if mode == "plane"
+            else (moving8, mnormals_rot))
+    glayout = group_rows_by_bin(rid, n_r, query_capacity, rows)
+    mg = glayout.grouped[0]
+    nm = None if mode == "plane" else glayout.grouped[1]
+    qvalid = glayout.valid.astype(moving8.dtype)
+
+    if use_pallas:
+        use_pallas = gn_kernel_fits(n_r, mg.shape[1],
+                                    index.bins_vals12.shape[1], mode)
+    if use_pallas:
+        P = bin_gn_moments_pallas(
+            mg, nm, qvalid, index.reps, index.bins_vals12,
+            index.sq_b_masked, G, b_row, alpha, mode=mode,
+            weighted=weighted, robust=robust, robust_delta=robust_delta,
+            gicp_eps=gicp_eps, interpret=interpret)
+    else:
+        P = bin_gn_moments_ref(
+            mg, nm, qvalid, index.reps, index.bins_vals12,
+            index.sq_b_masked, G, b_row, alpha, mode=mode,
+            weighted=weighted, robust=robust, robust_delta=robust_delta,
+            gicp_eps=gicp_eps)
+    return gn_v_total(P, index.reps, index.gn_w)
+
+
 class SearchResult(NamedTuple):
     """NN results in ORIGINAL query order.
 

@@ -191,6 +191,15 @@ class ICPConfig:
     # pipeline (same semantics, more HBM traffic — useful for A/B and for
     # objectives needing per-pair data, which ignore this flag).
     fused_point: bool = True
+    # Fully-fused PLANE/GICP pipeline (kernels/fused_gn.py): the same
+    # two-pass structure as fused_point, with per-bin search + weighting +
+    # the ENTIRE Gauss-Newton system build collapsed into (n_r, 8, 8)
+    # moment matrices (GICP's 3x3 Mahalanobis weight factors into three
+    # plane-style rows via a closed-form Cholesky — see the module
+    # docstring). Ignored for POINT/BRUTE; the adaptive-robust combination
+    # falls back to the grouped-search path (needs per-pair residuals for
+    # the median), same as fused_point.
+    fused_gn: bool = True
 
     def __post_init__(self):
         if self.m <= 0:
