@@ -210,7 +210,16 @@ def _rep_assign_kernel(p_ref, c_ref, srow_ref, out_ref):
     """
     scores = srow_ref[:] - 2.0 * dot3(p_ref[:], c_ref[:],
                                       (((1,), (0,)), ((), ())))
-    out_ref[:] = jnp.argmin(scores, axis=1).astype(jnp.int32)[None, :]
+    # min + iota-select instead of jnp.argmin: Mosaic fails to legalize a
+    # 2-D argmin whose reduced axis is a single lane tile (n_r <= 128,
+    # the pyramid's coarse levels) — "unresolved materialization from
+    # vector<8x128xf32> to vector<8x128xi32>". Same first-min-index
+    # semantics: ties pick the smallest representative id.
+    mn = jnp.min(scores, axis=1, keepdims=True)
+    ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    n_r = scores.shape[1]
+    out_ref[:] = jnp.min(jnp.where(scores <= mn, ids, n_r),
+                         axis=1).astype(jnp.int32)[None, :]
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "interpret"))
