@@ -93,6 +93,66 @@ def adaptive_robust_delta(d2: jnp.ndarray, mask: Optional[jnp.ndarray],
     return jnp.maximum(_ADAPTIVE_K[kind] * med_r, 1e-3)
 
 
+def masked_median_sharded(x: jnp.ndarray, mask: Optional[jnp.ndarray],
+                          axes, bins: int = 256) -> jnp.ndarray:
+    """Global lower-median of ``x`` over ``mask`` across mesh ``axes``.
+
+    Call inside ``shard_map``. Three scalar-class collectives instead of
+    gathering the residual vectors:
+
+      1. local lower medians bracket the global one — at least half of
+         every shard's valid mass sits on each side of its local median,
+         so summing over shards puts the global median inside
+         ``[min_s med_s, max_s med_s]``;
+      2. one ``psum`` of a ``bins``-bin histogram of the valid values over
+         that (narrow) interval, plus the below-interval rank offset,
+         locates the global rank k = (count-1)//2 to within
+         (hi - lo) / bins — sub-percent of the local-median spread.
+
+    The histogram is built as a one-hot reduction (MXU-friendly), not a
+    scatter. Exact (returns the shared value) when every shard's local
+    median agrees; returns 0 when no shard has a valid element.
+    """
+    x = x.reshape(-1)
+    m = (jnp.ones(x.shape, bool) if mask is None else mask.reshape(-1))
+    cnt_l = jnp.sum(m.astype(jnp.int32))
+    med_l = masked_median(x, m)
+    has = cnt_l > 0
+    lo = jax.lax.pmin(jnp.where(has, med_l, jnp.inf), axes)
+    hi = jax.lax.pmax(jnp.where(has, med_l, -jnp.inf), axes)
+    total = jax.lax.psum(cnt_l, axes)
+
+    width = jnp.maximum(hi - lo, 0.0)
+    # Bin index of every valid element inside [lo, hi] (clipped; elements
+    # below lo are counted separately into the rank offset).
+    scale = jnp.where(width > 0, bins / width, 0.0)
+    xi = jnp.clip(((x - lo) * scale).astype(jnp.int32), 0, bins - 1)
+    in_interval = (m & (x >= lo)).astype(x.dtype)
+    hist_l = jnp.sum(
+        jax.nn.one_hot(xi, bins, dtype=x.dtype) * in_interval[:, None],
+        axis=0)
+    below_l = jnp.sum((m & (x < lo)).astype(jnp.int32))
+    hist = jax.lax.psum(hist_l, axes)
+    below = jax.lax.psum(below_l, axes)
+
+    k = jnp.maximum(total - 1, 0) // 2  # 0-based lower-median rank
+    cum = below.astype(x.dtype) + jnp.cumsum(hist)
+    bin_idx = jnp.argmax(cum > k.astype(x.dtype))  # first covering bin
+    est = lo + (bin_idx.astype(x.dtype) + 0.5) * (width / bins)
+    est = jnp.where(width > 0, est, lo)  # all local medians agree -> exact
+    return jnp.where(total > 0, est, jnp.zeros((), x.dtype))
+
+
+def adaptive_robust_delta_sharded(d2: jnp.ndarray,
+                                  mask: Optional[jnp.ndarray],
+                                  kind: str, axes) -> jnp.ndarray:
+    """Distributed :func:`adaptive_robust_delta` (inside ``shard_map``):
+    the residual median comes from :func:`masked_median_sharded`, so every
+    shard derives the identical global robust scale."""
+    med_r = jnp.sqrt(jnp.maximum(masked_median_sharded(d2, mask, axes), 0.0))
+    return jnp.maximum(_ADAPTIVE_K[kind] * med_r, 1e-3)
+
+
 def masked_weight_sum(weights: jnp.ndarray,
                       mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Sum of weights (the reference promotes to f64 in ``reduce_sum_fd``;

@@ -19,6 +19,9 @@ this is the BASELINE.json extension: the moving/query axis is sharded over
   * collectives per iteration: the two phase-1 pmins plus ONE ``psum`` of
     the partial sums — 18 floats for POINT (kernels/fused_step.py moment
     partials), 27 floats (6x6 system + rhs) for PLANE/GICP.
+    ``robust_adaptive`` adds the 3-collective distributed residual median
+    (ops.moments.masked_median_sharded: local-median pmin/pmax bracket +
+    one 256-float histogram psum).
   * rotation solve: replicated (identical tiny computation on every shard;
     cheaper than communicating it).
 
@@ -55,6 +58,7 @@ from icp_tpu.kernels.fused_step import (
 )
 from icp_tpu.ops.distance import metric_weights, pairwise_sq_dists
 from icp_tpu.ops.moments import (
+    adaptive_robust_delta_sharded,
     centroid_partials,
     compute_weights,
     deviations,
@@ -219,13 +223,18 @@ def sharded_icp_step(state: ICPState, moving_local: jnp.ndarray,
     """
     both = (DP_AXIS, MP_AXIS)
     mp_size = jax.lax.axis_size(MP_AXIS)
+    # Adaptive robust scale needs per-pair residuals for the distributed
+    # median, so it routes POINT through the grouped-pairs path below (the
+    # fused moment kernel never materializes d2) — same policy as the
+    # single-chip step (icp.step).
+    adaptive = config.robust_adaptive and config.robust.value != "none"
 
     if config.correspondence is Correspondence.RBC:
         local = _slice_index_for_mp(index, n_r_local)
         tm = transform_points(moving_local, state.q, state.t, state.s)
         bin_of_query = _phase1_owned_bins(local, tm, params, n_r_local)
 
-        if config.objective is Objective.POINT:
+        if config.objective is Objective.POINT and not adaptive:
             # Fused grouped-moments path: one 18-float psum, no scatter.
             sums = _point_partials(local, moving_local, state, params,
                                    config, bin_of_query, n_r_local,
@@ -237,7 +246,8 @@ def sharded_icp_step(state: ICPState, moving_local: jnp.ndarray,
                 estimate_scale=config.estimate_scale)
             return _accumulate(state, qk, tk, sk)
 
-        # PLANE/GICP need per-pair rows; keep them grouped on the owner.
+        # PLANE/GICP (and adaptive-robust POINT) need per-pair rows; keep
+        # them grouped on the owner.
         # Moving-side validity rides in query lane 7 (from the ORIGINAL
         # coordinates — a transformed invalid point sits at t, not 0).
         mv_valid = (jnp.sum(jnp.abs(moving_local[..., :3]), axis=-1) > 0
@@ -279,8 +289,10 @@ def sharded_icp_step(state: ICPState, moving_local: jnp.ndarray,
              if config.weighting is Weighting.WEIGHTED
              else jnp.ones_like(nn_dist))
         if config.robust.value != "none":
-            w = w * robust_factor(nn_dist, config.robust.value,
-                                  params.robust_delta)
+            delta = (adaptive_robust_delta_sharded(
+                         nn_dist, mask, config.robust.value, both)
+                     if adaptive else params.robust_delta)
+            w = w * robust_factor(nn_dist, config.robust.value, delta)
     else:
         w = None
 
@@ -309,7 +321,8 @@ def sharded_icp_step(state: ICPState, moving_local: jnp.ndarray,
         qk, tk = solve_plane_system(H, b)
         sk = jnp.ones((), tm.dtype)
     else:
-        # POINT via brute: centroid/S partials (the RBC POINT path returned
+        # POINT via brute or via the grouped RBC pairs (adaptive-robust
+        # mode): centroid/S partials (the plain RBC POINT path returned
         # above through the fused grouped-moments branch).
         sum_f, sum_m, denom = centroid_partials(matched_f, mv, w, mask)
         sum_f = jax.lax.psum(sum_f, both) / mp_dup
@@ -377,11 +390,6 @@ def make_sharded_register(mesh, config: ICPConfig):
     """
     n_dp = mesh.shape[DP_AXIS]
     n_mp = mesh.shape[MP_AXIS]
-    if config.robust_adaptive and config.robust.value != "none":
-        raise ValueError(
-            "robust_adaptive is not supported on the sharded path (the "
-            "residual median would need its own collective); set "
-            "ICPParams.robust_delta explicitly instead")
     if config.n_r % n_mp != 0:
         raise ValueError("n_r must divide evenly over the mp axis")
     if config.m % n_dp != 0:

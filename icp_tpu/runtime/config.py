@@ -130,8 +130,10 @@ class ICPConfig:
         per-kernel multiples — ops.moments.adaptive_robust_delta). The
         median needs per-pair residuals, so this routes POINT through the
         grouped-search pipeline instead of the fused moment kernel
-        (~25-30% slower iterations) and is not available on the sharded
-        path (a distributed median would need its own collective).
+        (~25-30% slower iterations). On the sharded path the median is
+        computed by a 3-collective distributed quantile
+        (ops.moments.masked_median_sharded: local-median interval
+        bracketing + one histogram psum).
       correspondence: NN search strategy.
       max_iterations: iteration cap of the registration loop (reference
         default 40, include/ICP/algorithms.hpp:2440).

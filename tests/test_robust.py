@@ -203,14 +203,16 @@ def test_robust_adaptive_clean_pair_still_converges(rng):
     assert float(qangle_deg(qmul(st.q, qconj(jnp.asarray(q_true))))) < 0.01
 
 
-def test_robust_adaptive_sharded_raises():
+def test_robust_adaptive_sharded_supported():
+    """robust_adaptive now runs on the sharded path (distributed residual
+    median — see tests/test_sharded.py for the accuracy/parity checks);
+    building the entry point must not reject it."""
     from icp_tpu.parallel.mesh import make_mesh
     from icp_tpu.parallel.sharded import make_sharded_register
 
     cfg = ICPConfig(m=1024, n_r=16, robust=RobustKernel.TUKEY,
                     robust_adaptive=True)
-    with pytest.raises(ValueError, match="robust_adaptive"):
-        make_sharded_register(make_mesh(2, 1), cfg)
+    make_sharded_register(make_mesh(2, 1), cfg)  # must not raise
 
 
 def test_robust_config_checkpoint_roundtrip():
