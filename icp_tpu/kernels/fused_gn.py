@@ -115,7 +115,7 @@ def _chol3_inv_rows(m11, m21, m22, m31, m32, m33):
 
 def _gn_math(p, nm, qvalid, reps_blk, bins_vals, sq_b, G, b_row, alpha,
              mode: str, weighted: bool, robust: str = "none", delta=None,
-             gicp_eps=None):
+             gicp_eps=None, v_layout: str = "lane"):
     """Shared kernel/ref body.
 
     Shapes: p (BB, cq, 8) RAW moving rows; nm (BB, cq, 3) moving-surface
@@ -124,6 +124,17 @@ def _gn_math(p, nm, qvalid, reps_blk, bins_vals, sq_b, G, b_row, alpha,
     (BB, cb, 12) = [rep-centered bin points (8) | fixed normals (3) | 0];
     sq_b (BB, cb) masked |b|^2; G (8, 8), b_row (1, 8) accumulated
     similarity (fused_step.prep_similarity). Returns P (BB, 8, 8).
+
+    v_layout selects how the GN row tensor v is laid out for the moment
+    contraction (identical math, different Mosaic footprint/speed):
+      "lane":    v is (BB, 8, R*cq) — the 8 v-components sit on the
+                 SUBLANE axis and the R rank-1 rows of all pairs tile the
+                 LANE axis, so the buffer is built from cheap (BB, cq)
+                 scalar planes and pads R*cq -> next 128 multiple instead
+                 of 8 -> 128 (12x smaller at cq=96, and GICP's three rows
+                 collapse into ONE dot_general).
+      "sublane": v is (BB, cq, 8) per row (one dot_general per row) —
+                 the original layout, kept for A/B measurement.
     """
     qc, one_hot, w = _search_core(p, qvalid, reps_blk, bins_vals[..., :8],
                                   sq_b, G, b_row, alpha, weighted, robust,
@@ -138,67 +149,88 @@ def _gn_math(p, nm, qvalid, reps_blk, bins_vals, sq_b, G, b_row, alpha,
     nfx, nfy, nfz = matched[..., 8], matched[..., 9], matched[..., 10]
     ones = jnp.ones_like(mx)
 
-    def accum(P, ux, uy, uz):
-        # v = [u, m x u, u . (m - f), 1]; P += sum w v v^T on the MXU.
+    def row_planes(ux, uy, uz):
+        # v = [u, m x u, u . (m - f), 1] as 8 (BB, cq) scalar planes.
         jx = my * uz - mz * uy
         jy = mz * ux - mx * uz
         jz = mx * uy - my * ux
         r = dx * ux + dy * uy + dz * uz
-        v = jnp.stack([ux, uy, uz, jx, jy, jz, r, ones], axis=-1)
-        return P + jax.lax.dot_general(v * w[..., None], v,
-                                       (((1,), (1,)), ((0,), (0,))),
-                                       precision=_HI)
+        return (ux, uy, uz, jx, jy, jz, r, ones)
 
-    P = jnp.zeros(p.shape[:1] + (8, 8), p.dtype)
     if mode == "plane":
-        return accum(P, nfx, nfy, nfz)
-    nmx, nmy, nmz = nm[..., 0], nm[..., 1], nm[..., 2]
-    if mode == "plane_sym":
+        rows = [row_planes(nfx, nfy, nfz)]
+    elif mode == "plane_sym":
         # Rusinkiewicz symmetric objective: constrain along the averaged
         # fixed+moving normal (zero rows self-mask to the one-sided case).
-        return accum(P, nfx + nmx, nfy + nmy, nfz + nmz)
-    # GICP: M = 2I - (1 - eps)(nf nf^T + nm nm^T), three rows of L^{-1}.
-    e = 1.0 - gicp_eps
-    m11 = 2.0 - e * (nfx * nfx + nmx * nmx)
-    m21 = -e * (nfx * nfy + nmx * nmy)
-    m22 = 2.0 - e * (nfy * nfy + nmy * nmy)
-    m31 = -e * (nfx * nfz + nmx * nmz)
-    m32 = -e * (nfy * nfz + nmy * nmz)
-    m33 = 2.0 - e * (nfz * nfz + nmz * nmz)
-    u1, u2, u3 = _chol3_inv_rows(m11, m21, m22, m31, m32, m33)
-    zeros = jnp.zeros_like(mx)
-    P = accum(P, u1[0], zeros, zeros)
-    P = accum(P, u2[0], u2[1], zeros)
-    return accum(P, u3[0], u3[1], u3[2])
+        nmx, nmy, nmz = nm[..., 0], nm[..., 1], nm[..., 2]
+        rows = [row_planes(nfx + nmx, nfy + nmy, nfz + nmz)]
+    else:
+        # GICP: M = 2I - (1 - eps)(nf nf^T + nm nm^T), 3 rows of L^{-1}.
+        nmx, nmy, nmz = nm[..., 0], nm[..., 1], nm[..., 2]
+        e = 1.0 - gicp_eps
+        m11 = 2.0 - e * (nfx * nfx + nmx * nmx)
+        m21 = -e * (nfx * nfy + nmx * nmy)
+        m22 = 2.0 - e * (nfy * nfy + nmy * nmy)
+        m31 = -e * (nfx * nfz + nmx * nmz)
+        m32 = -e * (nfy * nfz + nmy * nmz)
+        m33 = 2.0 - e * (nfz * nfz + nmz * nmz)
+        u1, u2, u3 = _chol3_inv_rows(m11, m21, m22, m31, m32, m33)
+        zeros = jnp.zeros_like(mx)
+        rows = [row_planes(u1[0], zeros, zeros),
+                row_planes(u2[0], u2[1], zeros),
+                row_planes(u3[0], u3[1], u3[2])]
+
+    if v_layout == "lane":
+        # (BB, 8, R*cq): component on sublanes, rows x queries on lanes.
+        v = jnp.stack([jnp.concatenate([r[i] for r in rows], axis=-1)
+                       if len(rows) > 1 else rows[0][i]
+                       for i in range(8)], axis=1)
+        wr = (jnp.concatenate([w] * len(rows), axis=-1)
+              if len(rows) > 1 else w)
+        return jax.lax.dot_general(v * wr[:, None, :], v,
+                                   (((2,), (2,)), ((0,), (0,))),
+                                   precision=_HI)
+    assert v_layout == "sublane", v_layout
+    P = jnp.zeros(p.shape[:1] + (8, 8), p.dtype)
+    for r in rows:
+        v = jnp.stack(r, axis=-1)  # (BB, cq, 8)
+        P = P + jax.lax.dot_general(v * w[..., None], v,
+                                    (((1,), (1,)), ((0,), (0,))),
+                                    precision=_HI)
+    return P
 
 
-def _make_gn_kernel(mode: str, weighted: bool, robust: str, with_nm: bool):
+def _make_gn_kernel(mode: str, weighted: bool, robust: str, with_nm: bool,
+                    v_layout: str = "lane"):
     if with_nm:
         def kernel(p_ref, nm_ref, qvalid_ref, reps_ref, vals_ref, sq_b_ref,
                    g_ref, b_ref, scal_ref, out_ref):
             out_ref[:] = _gn_math(
                 p_ref[:], nm_ref[:], qvalid_ref[:], reps_ref[:], vals_ref[:],
                 sq_b_ref[:], g_ref[:], b_ref[:], scal_ref[0, 0], mode,
-                weighted, robust, scal_ref[0, 1], scal_ref[0, 2])
+                weighted, robust, scal_ref[0, 1], scal_ref[0, 2],
+                v_layout=v_layout)
     else:
         def kernel(p_ref, qvalid_ref, reps_ref, vals_ref, sq_b_ref,
                    g_ref, b_ref, scal_ref, out_ref):
             out_ref[:] = _gn_math(
                 p_ref[:], None, qvalid_ref[:], reps_ref[:], vals_ref[:],
                 sq_b_ref[:], g_ref[:], b_ref[:], scal_ref[0, 0], mode,
-                weighted, robust, scal_ref[0, 1], scal_ref[0, 2])
+                weighted, robust, scal_ref[0, 1], scal_ref[0, 2],
+                v_layout=v_layout)
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "weighted", "robust",
-                                             "bin_batch", "interpret"))
+                                             "bin_batch", "interpret",
+                                             "v_layout"))
 def bin_gn_moments_pallas(mg: jnp.ndarray, nm: jnp.ndarray | None,
                           qvalid: jnp.ndarray, reps: jnp.ndarray,
                           bins_vals: jnp.ndarray, sq_b_masked: jnp.ndarray,
                           G: jnp.ndarray, b_row: jnp.ndarray, alpha, *,
                           mode: str, weighted: bool, robust: str = "none",
                           robust_delta=0.0, gicp_eps=0.0,
-                          bin_batch: int = 0,
+                          bin_batch: int = 0, v_layout: str = "lane",
                           interpret: bool = False) -> jnp.ndarray:
     """Fused per-bin search + weighting + GN-row moment reduction.
 
@@ -272,7 +304,7 @@ def bin_gn_moments_pallas(mg: jnp.ndarray, nm: jnp.ndarray | None,
 
     rows_per_pair = 3 if mode == "gicp" else 1
     return pl.pallas_call(
-        _make_gn_kernel(mode, weighted, robust, with_nm),
+        _make_gn_kernel(mode, weighted, robust, with_nm, v_layout),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bin_batch, d, d), i3,
@@ -295,13 +327,14 @@ def bin_gn_moments_ref(mg: jnp.ndarray, nm: jnp.ndarray | None,
                        bins_vals: jnp.ndarray, sq_b_masked: jnp.ndarray,
                        G: jnp.ndarray, b_row: jnp.ndarray, alpha, *,
                        mode: str, weighted: bool, robust: str = "none",
-                       robust_delta=0.0, gicp_eps=0.0) -> jnp.ndarray:
+                       robust_delta=0.0, gicp_eps=0.0,
+                       v_layout: str = "lane") -> jnp.ndarray:
     """Plain-XLA twin of :func:`bin_gn_moments_pallas` — the production
     path on CPU backends and the interpret-parity golden."""
     return _gn_math(mg, nm, qvalid, reps, bins_vals, sq_b_masked, G, b_row,
                     jnp.asarray(alpha, mg.dtype), mode, weighted, robust,
                     jnp.asarray(robust_delta, mg.dtype),
-                    jnp.asarray(gicp_eps, mg.dtype))
+                    jnp.asarray(gicp_eps, mg.dtype), v_layout=v_layout)
 
 
 # ---------------------------------------------------------------------------

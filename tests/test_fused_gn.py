@@ -90,6 +90,33 @@ def test_gn_kernel_matches_ref_twin(rng, mode):
     np.testing.assert_allclose(np.asarray(V_k), np.asarray(V_r), atol=tol)
 
 
+@pytest.mark.parametrize("mode", ["plane", "gicp"])
+def test_gn_v_layouts_agree(rng, mode):
+    """The "lane" moment layout (v components on sublanes, GN rows tiling
+    the lane axis — see _gn_math) computes the same per-bin P as the
+    original "sublane" layout, reduction order aside."""
+    from icp_tpu.kernels.fused_gn import bin_gn_moments_ref
+    from icp_tpu.rbc.grouping import group_rows_by_bin
+    from icp_tpu.rbc.search import rbc_point_assign
+
+    idx, moving = _setup(rng)
+    state = _random_state(rng)
+    mn = normals_for(moving, "knn")
+    rid, G, b_row = rbc_point_assign(idx, moving, state.q, state.t,
+                                     state.s, jnp.float32(ALPHA),
+                                     use_pallas=False)
+    gl = group_rows_by_bin(rid, idx.reps.shape[0], 64, (moving, mn))
+    args = (gl.grouped[0], None if mode == "plane" else gl.grouped[1],
+            gl.valid.astype(moving.dtype), idx.reps, idx.bins_vals12,
+            idx.sq_b_masked, G, b_row, jnp.float32(ALPHA))
+    kw = dict(mode=mode, weighted=True, gicp_eps=1e-3)
+    P_lane = bin_gn_moments_ref(*args, v_layout="lane", **kw)
+    P_sub = bin_gn_moments_ref(*args, v_layout="sublane", **kw)
+    tol = 1e-4 * max(float(jnp.max(jnp.abs(P_sub))), 1.0)
+    np.testing.assert_allclose(np.asarray(P_lane), np.asarray(P_sub),
+                               atol=tol)
+
+
 def test_gicp_cholesky_rows_reproduce_inverse(rng):
     """sum_k u_k u_k^T == inv(M) for the closed-form L^{-1} rows — the
     identity that lets GICP's 3x3 Mahalanobis weight run as three
