@@ -13,13 +13,18 @@ constant dispatch cost (under the axon tunnel a dispatch round-trip is
 reference charges per iteration: transform, RBC search, weights,
 reductions, rotation solve, loop bookkeeping.
 
+Robustness contract (round-3 hardening after BENCH_r02 died in a gate):
+the headline measurement can NEVER be lost to an accuracy gate — every
+gate runs in its own try/except and records ``{gate}_error`` instead of
+aborting, and the one JSON line is printed from a finally-style tail with
+whatever was measured. Deterministic compile errors are not retried.
+
 Prints ONE JSON line; vs_baseline = reference_ms / ours_ms (>1 means faster
 than the reference).
 """
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import time
 
@@ -79,9 +84,12 @@ def main() -> None:
 
     measure_block()
 
-    # Accuracy gate on the SAME hardware: a rendered pair with known
+    # Accuracy gates on the SAME hardware: rendered pairs with known
     # ground truth must register to the expected bound (caught a real
-    # bf16-matmul regression once; latency alone can't).
+    # bf16-matmul regression once; latency alone can't). Each gate is
+    # individually fenced: a gate that cannot even compile records its
+    # error and flips accuracy_ok, but the headline still prints
+    # (BENCH_r02 lost the whole capture to one gate's compile error).
     from icp_tpu import Objective
     from icp_tpu.icp.quaternion import qangle_deg, qconj, qmul
     from icp_tpu.ops.sampling import get_landmarks
@@ -98,14 +106,23 @@ def main() -> None:
     rel = se3.relative(synthetic.CameraPose.identity(), pose_b)
     acc_params = ICPParams(alpha=2e2).as_f32()
 
-    def gate(config, t_bound, a_bound, fixed=la, moving=lb, truth=rel):
-        st = jax.block_until_ready(register(fixed, moving, acc_params, config))
-        t_err = float(jnp.linalg.norm(st.t - truth.t))
-        a_err = float(qangle_deg(qmul(st.q, qconj(truth.q))))
-        return bool(t_err < t_bound and a_err < a_bound), t_err, a_err
+    gates: dict[str, dict] = {}
 
-    plane_ok, plane_t, plane_a = gate(
-        ICPConfig(estimate_scale=False, objective=Objective.PLANE), 1.0, 0.05)
+    def gate(name, config, t_bound, a_bound, fixed=la, moving=lb, truth=rel):
+        try:
+            st = jax.block_until_ready(
+                register(fixed, moving, acc_params, config))
+            t_err = float(jnp.linalg.norm(st.t - truth.t))
+            a_err = float(qangle_deg(qmul(st.q, qconj(truth.q))))
+            gates[name] = {"ok": bool(t_err < t_bound and a_err < a_bound),
+                           "t_err": t_err, "a_err": a_err}
+        except Exception as e:  # noqa: BLE001 - record, never abort bench
+            gates[name] = {"ok": False, "t_err": float("nan"),
+                           "a_err": float("nan"),
+                           "error": " ".join(str(e).split())[:300]}
+
+    gate("plane", ICPConfig(estimate_scale=False, objective=Objective.PLANE),
+         1.0, 0.05)
     measure_block()
     # Robust gate: 12% gross outliers injected into the moving landmarks;
     # the TRIMMED M-estimator (REGULAR weighting, so the robust kernel is
@@ -122,33 +139,39 @@ def main() -> None:
     # PLANE objective: the rendered-pair POINT floor is the ~3 mm sample
     # lattice (that is what the PLANE gate exists to beat), so the robust
     # gate must use PLANE to see sub-mm through the contamination.
-    robust_ok, robust_t, robust_a = gate(
-        ICPConfig(estimate_scale=False, objective=Objective.PLANE,
-                  weighting=Weighting.REGULAR,
-                  robust=RobustKernel.TRIMMED, robust_adaptive=True),
-        1.0, 0.05, moving=jnp.asarray(lb_dirty))
+    gate("robust",
+         ICPConfig(estimate_scale=False, objective=Objective.PLANE,
+                   weighting=Weighting.REGULAR,
+                   robust=RobustKernel.TRIMMED, robust_adaptive=True),
+         1.0, 0.05, moving=jnp.asarray(lb_dirty))
     measure_block()
     # GICP: plane-to-plane Mahalanobis, same sub-mm class as PLANE.
-    gicp_ok, gicp_t, gicp_a = gate(
-        ICPConfig(estimate_scale=False, objective=Objective.GICP), 1.0, 0.05)
+    gate("gicp", ICPConfig(estimate_scale=False, objective=Objective.GICP),
+         1.0, 0.05)
     measure_block()
 
     # Pyramid gate: coarse-to-fine from a LARGE offset (outside the
     # single-level basin for fast motion) must still land on the truth.
-    from icp_tpu.icp.pyramid import register_pyramid
-
     q_big = np.array([0, np.sin(0.03), 0, np.cos(0.03)], np.float32)
     t_big = np.array([60.0, -40.0, 30.0], np.float32)
     pose_c = synthetic.CameraPose(jnp.asarray(q_big), jnp.asarray(t_big))
     lc = get_landmarks(synthetic.render_cloud(scene, pose_c).reshape(-1, 8))
     rel_c = se3.relative(synthetic.CameraPose.identity(), pose_c)
-    stp = jax.block_until_ready(register_pyramid(
-        la, lc, acc_params,
-        ICPConfig(estimate_scale=False, objective=Objective.PLANE),
-        strides=(4, 2, 1)))
-    pyr_t = float(jnp.linalg.norm(stp.t - rel_c.t))
-    pyr_a = float(qangle_deg(qmul(stp.q, qconj(rel_c.q))))
-    pyramid_ok = bool(pyr_t < 2.0 and pyr_a < 0.1)
+    try:
+        from icp_tpu.icp.pyramid import register_pyramid
+
+        stp = jax.block_until_ready(register_pyramid(
+            la, lc, acc_params,
+            ICPConfig(estimate_scale=False, objective=Objective.PLANE),
+            strides=(4, 2, 1)))
+        pyr_t = float(jnp.linalg.norm(stp.t - rel_c.t))
+        pyr_a = float(qangle_deg(qmul(stp.q, qconj(rel_c.q))))
+        gates["pyramid"] = {"ok": bool(pyr_t < 2.0 and pyr_a < 0.1),
+                            "t_err": pyr_t, "a_err": pyr_a}
+    except Exception as e:  # noqa: BLE001 - record, never abort bench
+        gates["pyramid"] = {"ok": False, "t_err": float("nan"),
+                            "a_err": float("nan"),
+                            "error": " ".join(str(e).split())[:300]}
 
     # Two more spread-out blocks; ~10 s apart, widening the sampled drift
     # horizon to the whole bench runtime.
@@ -157,32 +180,31 @@ def main() -> None:
     measure_block()
     per_iter_ms = (best[ITERS_HI] - best[ITERS_LO]) / (ITERS_HI - ITERS_LO) * 1e3
 
-    print(json.dumps({
+    out = {
         "metric": "icp_iteration_ms_f16384_r256",
         "value": round(per_iter_ms, 4),
         "unit": "ms/iteration",
         "vs_baseline": round(BASELINE_MS / per_iter_ms, 3),
-        "accuracy_ok": bool(plane_ok and gicp_ok and pyramid_ok
-                            and robust_ok),
-        "plane_t_err_mm": round(plane_t, 4),
-        "plane_ang_err_deg": round(plane_a, 5),
-        "gicp_t_err_mm": round(gicp_t, 4),
-        "gicp_ang_err_deg": round(gicp_a, 5),
-        "pyramid_t_err_mm": round(pyr_t, 4),
-        "pyramid_ang_err_deg": round(pyr_a, 5),
-        "robust_t_err_mm": round(robust_t, 4),
-        "robust_ang_err_deg": round(robust_a, 5),
-    }))
+        "accuracy_ok": bool(all(g["ok"] for g in gates.values())),
+    }
+    for name, g in gates.items():
+        out[f"{name}_t_err_mm"] = round(g["t_err"], 4)
+        out[f"{name}_ang_err_deg"] = round(g["a_err"], 5)
+        if "error" in g:
+            out[f"{name}_error"] = g["error"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
     # The tunneled dev chip's compile/dispatch relay occasionally throws
     # transient HTTP 500s (one observed per ~50 dispatches on bad days).
-    # One retry protects the driver's end-of-round capture; a genuine
-    # failure still surfaces on the second attempt.
+    # One retry protects the driver's end-of-round capture against a
+    # TRANSIENT failure in the headline path (gates no longer raise);
+    # deterministic Mosaic compile errors surface the same way on the
+    # second attempt, so the retry costs one warmup, not correctness.
     try:
         main()
-    except Exception as e:  # noqa: BLE001 - transient relay errors only
+    except Exception:  # noqa: BLE001 - transient relay errors only
         import sys
         import traceback
 

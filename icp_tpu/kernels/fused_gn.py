@@ -52,6 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from icp_tpu.kernels.fused_step import (
     _HI,
+    _lane_iota,
     _search_core,
     DEFAULT_BIN_BATCH,
 )
@@ -59,12 +60,18 @@ from icp_tpu.kernels.fused_step import (
 GN_MODES = ("plane", "plane_sym", "gicp")
 
 
-# Measured Mosaic stack bytes per bin-slot-pair (cq x cb), by mode — the
-# stack allocator does NOT reuse buffers across the GICP path's three
-# sequential row accumulations, so gicp is ~2.5x plane. Anchors (v5e,
-# cq=96, cb=128): plane bb=32 -> 17.80 MB (~45 B); gicp bb=16 ->
-# 21.41 MB (~109 B). The Mosaic OOM message reports the exact size
-# whenever these under-estimate.
+# Measured Mosaic stack bytes per bin-slot-pair (cq x cb) for the DEFAULT
+# "sublane" v layout, by mode — the stack allocator does NOT reuse buffers
+# across the GICP path's three sequential row accumulations, so gicp is
+# ~2.5x plane. Anchors (v5e, cq=96, cb=128): plane bb=32 FAILS at
+# 17.80 MB actual (45.3 B/slot; the 50 here rejects it with margin) and
+# bb=16 compiles; gicp bb=16 FAILS at 21.41 MB (109 B/slot) and bb=8
+# compiles — both verified on hardware by benchmarks/smoke_fused_hw.py,
+# which must be re-run after ANY change to these anchors, the kernel
+# body, or the capacity policy. The "lane" layout is experimental-only
+# (it allocates ~2x MORE stack than sublane despite its smaller logical
+# footprint — 37.5 MB at plane bb=16 — so it never wins a probe at
+# production shapes; see _gn_math's v_layout docstring).
 _GN_BYTES_PER_SLOT = {"plane": 50, "plane_sym": 60, "gicp": 118}
 
 
@@ -115,7 +122,7 @@ def _chol3_inv_rows(m11, m21, m22, m31, m32, m33):
 
 def _gn_math(p, nm, qvalid, reps_blk, bins_vals, sq_b, G, b_row, alpha,
              mode: str, weighted: bool, robust: str = "none", delta=None,
-             gicp_eps=None, v_layout: str = "lane"):
+             gicp_eps=None, v_layout: str = "sublane"):
     """Shared kernel/ref body.
 
     Shapes: p (BB, cq, 8) RAW moving rows; nm (BB, cq, 3) moving-surface
@@ -127,14 +134,18 @@ def _gn_math(p, nm, qvalid, reps_blk, bins_vals, sq_b, G, b_row, alpha,
 
     v_layout selects how the GN row tensor v is laid out for the moment
     contraction (identical math, different Mosaic footprint/speed):
-      "lane":    v is (BB, 8, R*cq) — the 8 v-components sit on the
-                 SUBLANE axis and the R rank-1 rows of all pairs tile the
-                 LANE axis, so the buffer is built from cheap (BB, cq)
-                 scalar planes and pads R*cq -> next 128 multiple instead
-                 of 8 -> 128 (12x smaller at cq=96, and GICP's three rows
-                 collapse into ONE dot_general).
       "sublane": v is (BB, cq, 8) per row (one dot_general per row) —
-                 the original layout, kept for A/B measurement.
+                 the DEFAULT and the layout the _GN_BYTES_PER_SLOT budget
+                 model describes; compiles at every production shape.
+      "lane":    v is (BB, 8, R*cq) — components on sublanes, rows x
+                 queries on lanes; GICP's three rows collapse into ONE
+                 dot_general. EXPERIMENTAL: despite the 12x smaller
+                 logical footprint at cq=96, Mosaic allocates ~2x MORE
+                 stack for it than for sublane (37.5 MB vs 9.8 MB at
+                 plane bb=16 — the broadcast-built v and the lane-axis
+                 contraction both relayout through scratch), so it OOMs
+                 at the flagship shape; usable only at small shapes for
+                 A/B (benchmarks/profile_gn_layout.py).
     """
     qc, one_hot, w = _search_core(p, qvalid, reps_blk, bins_vals[..., :8],
                                   sq_b, G, b_row, alpha, weighted, robust,
@@ -182,9 +193,19 @@ def _gn_math(p, nm, qvalid, reps_blk, bins_vals, sq_b, G, b_row, alpha,
 
     if v_layout == "lane":
         # (BB, 8, R*cq): component on sublanes, rows x queries on lanes.
-        v = jnp.stack([jnp.concatenate([r[i] for r in rows], axis=-1)
-                       if len(rows) > 1 else rows[0][i]
-                       for i in range(8)], axis=1)
+        # NOT built with jnp.stack: an 8-way stack along a new sublane axis
+        # lowers to tpu.concatenate, which requires identical lane offsets
+        # on every input — unsatisfiable when R*cq is not a multiple of 128
+        # (the BENCH_r02 failure: "result/input offset mismatch on
+        # non-concat dimension" at cq=96, bin_batch=16). Broadcast-select +
+        # add is pure elementwise VPU work Mosaic can always relayout, and
+        # at (BB, 8, R*cq) size it is noise next to the MXU contraction.
+        planes = [jnp.concatenate([r[i] for r in rows], axis=-1)
+                  if len(rows) > 1 else rows[0][i] for i in range(8)]
+        comp = _lane_iota((1, 8, 1), 1)
+        v = planes[0][:, None, :] * (comp == 0).astype(p.dtype)
+        for i in range(1, 8):
+            v = v + planes[i][:, None, :] * (comp == i).astype(p.dtype)
         wr = (jnp.concatenate([w] * len(rows), axis=-1)
               if len(rows) > 1 else w)
         return jax.lax.dot_general(v * wr[:, None, :], v,
@@ -201,7 +222,7 @@ def _gn_math(p, nm, qvalid, reps_blk, bins_vals, sq_b, G, b_row, alpha,
 
 
 def _make_gn_kernel(mode: str, weighted: bool, robust: str, with_nm: bool,
-                    v_layout: str = "lane"):
+                    v_layout: str = "sublane"):
     if with_nm:
         def kernel(p_ref, nm_ref, qvalid_ref, reps_ref, vals_ref, sq_b_ref,
                    g_ref, b_ref, scal_ref, out_ref):
@@ -230,7 +251,7 @@ def bin_gn_moments_pallas(mg: jnp.ndarray, nm: jnp.ndarray | None,
                           G: jnp.ndarray, b_row: jnp.ndarray, alpha, *,
                           mode: str, weighted: bool, robust: str = "none",
                           robust_delta=0.0, gicp_eps=0.0,
-                          bin_batch: int = 0, v_layout: str = "lane",
+                          bin_batch: int = 0, v_layout: str = "sublane",
                           interpret: bool = False) -> jnp.ndarray:
     """Fused per-bin search + weighting + GN-row moment reduction.
 
@@ -328,7 +349,7 @@ def bin_gn_moments_ref(mg: jnp.ndarray, nm: jnp.ndarray | None,
                        G: jnp.ndarray, b_row: jnp.ndarray, alpha, *,
                        mode: str, weighted: bool, robust: str = "none",
                        robust_delta=0.0, gicp_eps=0.0,
-                       v_layout: str = "lane") -> jnp.ndarray:
+                       v_layout: str = "sublane") -> jnp.ndarray:
     """Plain-XLA twin of :func:`bin_gn_moments_pallas` — the production
     path on CPU backends and the interpret-parity golden."""
     return _gn_math(mg, nm, qvalid, reps, bins_vals, sq_b_masked, G, b_row,

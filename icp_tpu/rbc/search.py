@@ -290,6 +290,7 @@ def rbc_gn_system(index: RBCIndex, moving8: jnp.ndarray,
                   alpha, query_capacity: int, *, mode: str, weighted: bool,
                   use_pallas: bool, robust: str = "none", robust_delta=0.0,
                   gicp_eps=0.0, mnormals_rot: jnp.ndarray | None = None,
+                  v_layout: str = "sublane",
                   interpret: bool = False) -> jnp.ndarray:
     """FULLY-fused PLANE/GICP iteration front half: transform + rep
     assignment + grouping + per-bin search + weighting + the whole GN
@@ -308,6 +309,9 @@ def rbc_gn_system(index: RBCIndex, moving8: jnp.ndarray,
       gicp_eps: disk-covariance thickness (gicp mode).
       mnormals_rot: (m, 3) moving normals rotated into the fixed frame
         (required for plane_sym/gicp; grouped alongside the queries).
+      v_layout: GN row-tensor layout for the moment contraction
+        ("sublane" default — the only layout that compiles at production
+        shapes; "lane" is experimental, see kernels.fused_gn._gn_math).
     Returns:
       V (8, 8) global GN moment matrix — feed
       kernels.fused_gn.gn_system_from_V then icp.plane.solve_plane_system.
@@ -340,13 +344,13 @@ def rbc_gn_system(index: RBCIndex, moving8: jnp.ndarray,
             mg, nm, qvalid, index.reps, index.bins_vals12,
             index.sq_b_masked, G, b_row, alpha, mode=mode,
             weighted=weighted, robust=robust, robust_delta=robust_delta,
-            gicp_eps=gicp_eps, interpret=interpret)
+            gicp_eps=gicp_eps, v_layout=v_layout, interpret=interpret)
     else:
         P = bin_gn_moments_ref(
             mg, nm, qvalid, index.reps, index.bins_vals12,
             index.sq_b_masked, G, b_row, alpha, mode=mode,
             weighted=weighted, robust=robust, robust_delta=robust_delta,
-            gicp_eps=gicp_eps)
+            gicp_eps=gicp_eps, v_layout=v_layout)
     return gn_v_total(P, index.reps, index.gn_w)
 
 
