@@ -86,7 +86,8 @@ def _bin_search_kernel(qg_w_ref, bins_c_ref, sq_b_ref, vals_ref,
     # expansion, but 3 passes keep it, and this K=8 contraction runs at
     # 1/16 MXU utilization where pass count is the entire cost (HIGHEST's
     # 6 passes measured ~2x slower at the 4x workload).
-    cross = dot3(qg_w, bins_c, (((2,), (2,)), ((0,), (0,))))
+    cross = dot3(qg_w, bins_c, (((2,), (2,)), ((0,), (0,))),
+                 in_kernel=True)
     scores = sq_b_ref[:][:, None, :] - 2.0 * cross
 
     best_slot = jnp.argmin(scores, axis=-1)  # (BB, cq)

@@ -122,7 +122,8 @@ def _chol3_inv_rows(m11, m21, m22, m31, m32, m33):
 
 def _gn_math(p, nm, qvalid, reps_blk, bins_vals, sq_b, G, b_row, alpha,
              mode: str, weighted: bool, robust: str = "none", delta=None,
-             gicp_eps=None, v_layout: str = "sublane"):
+             gicp_eps=None, v_layout: str = "sublane",
+             in_kernel: bool = False):
     """Shared kernel/ref body.
 
     Shapes: p (BB, cq, 8) RAW moving rows; nm (BB, cq, 3) moving-surface
@@ -149,7 +150,7 @@ def _gn_math(p, nm, qvalid, reps_blk, bins_vals, sq_b, G, b_row, alpha,
     """
     qc, one_hot, w = _search_core(p, qvalid, reps_blk, bins_vals[..., :8],
                                   sq_b, G, b_row, alpha, weighted, robust,
-                                  delta)
+                                  delta, in_kernel=in_kernel)
     matched = jax.lax.dot_general(one_hot, bins_vals,
                                   (((2,), (1,)), ((0,), (0,))),
                                   precision=_HI)  # (BB, cq, 12)
@@ -230,7 +231,7 @@ def _make_gn_kernel(mode: str, weighted: bool, robust: str, with_nm: bool,
                 p_ref[:], nm_ref[:], qvalid_ref[:], reps_ref[:], vals_ref[:],
                 sq_b_ref[:], g_ref[:], b_ref[:], scal_ref[0, 0], mode,
                 weighted, robust, scal_ref[0, 1], scal_ref[0, 2],
-                v_layout=v_layout)
+                v_layout=v_layout, in_kernel=True)
     else:
         def kernel(p_ref, qvalid_ref, reps_ref, vals_ref, sq_b_ref,
                    g_ref, b_ref, scal_ref, out_ref):
@@ -238,7 +239,7 @@ def _make_gn_kernel(mode: str, weighted: bool, robust: str, with_nm: bool,
                 p_ref[:], None, qvalid_ref[:], reps_ref[:], vals_ref[:],
                 sq_b_ref[:], g_ref[:], b_ref[:], scal_ref[0, 0], mode,
                 weighted, robust, scal_ref[0, 1], scal_ref[0, 2],
-                v_layout=v_layout)
+                v_layout=v_layout, in_kernel=True)
     return kernel
 
 

@@ -72,7 +72,8 @@ DEFAULT_BIN_BATCH = 32
 _HI = jax.lax.Precision.HIGHEST
 
 
-def dot3(a: jnp.ndarray, b: jnp.ndarray, dims) -> jnp.ndarray:
+def dot3(a: jnp.ndarray, b: jnp.ndarray, dims, *,
+         in_kernel: bool = False) -> jnp.ndarray:
     """bf16x3 matmul (the classic 3-pass f32 emulation) for SCORE tensors.
 
     Score matmuls (rep assignment, per-bin cross terms) feed an ARGMIN,
@@ -82,14 +83,39 @@ def dot3(a: jnp.ndarray, b: jnp.ndarray, dims) -> jnp.ndarray:
     cancelled quadratic expansion). These are K=8 contractions at 1/16 MXU
     utilization where pass count is the entire cost: HIGHEST (bf16x6)
     measured ~2x slower at the 4x workload for zero extra argmin fidelity.
-    Mosaic does not lower ``Precision.HIGH``, hence the explicit split:
-    a = a_hi + a_lo exactly (bf16 round-to-nearest), and the a_lo x b_lo
-    term (~2^-32 relative) is dropped.
+
+    The split needs two implementations (``in_kernel`` selects; call sites
+    inside Pallas kernel bodies MUST pass True, XLA twins False):
+
+    - XLA path: the hi part is anchored with ``lax.reduce_precision``
+      (an op XLA always honors). The naive ``a - (f32)(bf16)a`` split is
+      FOLDED AWAY by XLA under ``--xla_allow_excess_precision`` (which the
+      TPU relay pins): the bf16 round-trips collapse, the three passes
+      become one DEFAULT-precision (single-bf16) matmul, and rep
+      assignment picks wrong representatives at ~2% of queries with score
+      errors ~3e-3 relative — caught on hardware by the
+      benchmarks/smoke_fused_hw.py parity sweep (the Pallas kernels were
+      right; the production XLA fallbacks were wrong).
+    - Kernel path: Mosaic lowers neither ``reduce_precision`` nor the
+      algorithm presets, but it also performs no excess-precision folding
+      of the explicit cast split (verified on hardware: assignment
+      matches the f64 reference to tie level, ~2e-4).
+
+    Both compute identical values when nothing folds: reduce_precision(a,
+    8, 7) rounds exactly like ``astype(bf16)`` (RN to the same 8-bit
+    mantissa), so CPU tests see bitwise-equal paths. The a_lo x b_lo term
+    (~2^-32 relative) is dropped in both.
     """
-    a_hi = a.astype(jnp.bfloat16)
-    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    b_hi = b.astype(jnp.bfloat16)
-    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if in_kernel:
+        a_hi_f = a.astype(jnp.bfloat16).astype(jnp.float32)
+        b_hi_f = b.astype(jnp.bfloat16).astype(jnp.float32)
+    else:
+        a_hi_f = jax.lax.reduce_precision(a, 8, 7)
+        b_hi_f = jax.lax.reduce_precision(b, 8, 7)
+    a_hi = a_hi_f.astype(jnp.bfloat16)
+    a_lo = (a - a_hi_f).astype(jnp.bfloat16)
+    b_hi = b_hi_f.astype(jnp.bfloat16)
+    b_lo = (b - b_hi_f).astype(jnp.bfloat16)
 
     def f(x, y):
         return jax.lax.dot_general(x, y, dims,
@@ -209,7 +235,8 @@ def _rep_assign_kernel(p_ref, c_ref, srow_ref, out_ref):
     out_ref: (1, BM) int32 nearest-representative ids.
     """
     scores = srow_ref[:] - 2.0 * dot3(p_ref[:], c_ref[:],
-                                      (((1,), (0,)), ((), ())))
+                                      (((1,), (0,)), ((), ())),
+                                      in_kernel=True)
     # min + iota-select instead of jnp.argmin: Mosaic fails to legalize a
     # 2-D argmin whose reduced axis is a single lane tile (n_r <= 128,
     # the pyramid's coarse levels) — "unresolved materialization from
@@ -294,7 +321,8 @@ def _shift_0to3_into_4to7(dtype):
 
 
 def _search_core(p, qvalid, reps_blk, bins_c, sq_b, G, b_row, alpha,
-                 weighted: bool, robust: str, delta):
+                 weighted: bool, robust: str, delta,
+                 in_kernel: bool = False):
     """Shared in-VMEM search front of the fused kernels.
 
     Transform + per-bin rep centering, MXU bin scores, argmin, one-hot
@@ -320,7 +348,8 @@ def _search_core(p, qvalid, reps_blk, bins_c, sq_b, G, b_row, alpha,
     sq_q = jnp.sum(qg_w * qc, axis=-1)  # (BB, cq)
 
     # Bin scores on the MXU; +inf rides in sq_b for invalid slots.
-    cross = dot3(qg_w, bins_c, (((2,), (2,)), ((0,), (0,))))
+    cross = dot3(qg_w, bins_c, (((2,), (2,)), ((0,), (0,))),
+                 in_kernel=in_kernel)
     scores = sq_b[:, None, :] - 2.0 * cross
     best_slot = jnp.argmin(scores, axis=-1)  # (BB, cq)
     best_score = jnp.min(scores, axis=-1)
@@ -349,7 +378,8 @@ def _search_core(p, qvalid, reps_blk, bins_c, sq_b, G, b_row, alpha,
 
 
 def _moment_math(p, qvalid, reps_blk, bins_c, sq_b, G, b_row, alpha,
-                 weighted: bool, robust: str = "none", delta=None):
+                 weighted: bool, robust: str = "none", delta=None,
+                 in_kernel: bool = False):
     """Shared kernel/ref body. Shapes: p (BB, cq, 8), qvalid (BB, cq),
     reps_blk (BB, 8), bins_c (BB, cb, 8), sq_b (BB, cb), G (8, 8),
     b_row (1, 8), alpha scalar; robust/delta select and scale the optional
@@ -357,7 +387,8 @@ def _moment_math(p, qvalid, reps_blk, bins_c, sq_b, G, b_row, alpha,
     (BB, 8, 8)."""
     lane = _lane_iota((1, 1, 8), 2)
     qc, one_hot, w = _search_core(p, qvalid, reps_blk, bins_c, sq_b, G,
-                                  b_row, alpha, weighted, robust, delta)
+                                  b_row, alpha, weighted, robust, delta,
+                                  in_kernel=in_kernel)
     # Winner's centered point, straight into u's lanes 4:7: fold the lane
     # shift into a second tiny matmul (no in-VMEM concat/roll needed).
     matched_shift = jax.lax.dot_general(
@@ -382,7 +413,7 @@ def _make_moment_kernel(weighted: bool, robust: str):
         out_ref[:] = _moment_math(
             p_ref[:], qvalid_ref[:], reps_ref[:], bins_ref[:], sq_b_ref[:],
             g_ref[:], b_ref[:], scal_ref[0, 0], weighted, robust,
-            scal_ref[0, 1])
+            scal_ref[0, 1], in_kernel=True)
 
     return kernel
 

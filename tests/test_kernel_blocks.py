@@ -95,6 +95,39 @@ def test_big_capacity_shapes_fall_back():
             interpret=True)
 
 
+def test_auto_selected_shapes_are_hardware_verified():
+    """Every kernel invocation reachable from a supported config must be
+    recorded ``ok`` in the checked-in hardware compile/parity table.
+
+    This is the loop-closer for the round-2 regression class: a capacity-
+    policy or block-policy change moves production onto a block shape that
+    interpret-mode CPU tests cannot compile-check. If this test fails, the
+    fix is to run ``python benchmarks/smoke_fused_hw.py`` ON THE TPU (the
+    pre-snapshot ritual) and commit the regenerated
+    benchmarks/hw_compile_table.json — after making the new shape pass.
+    """
+    import json
+    import pathlib
+
+    from icp_tpu.runtime import support_matrix
+
+    table_path = (pathlib.Path(__file__).resolve().parent.parent
+                  / support_matrix.HW_TABLE_PATH)
+    with open(table_path) as f:
+        table = json.load(f)
+    missing = [r.key for r in support_matrix.kernel_rows()
+               if r.key not in table]
+    assert not missing, (
+        f"kernel shapes never compiled on hardware: {missing} — run "
+        "benchmarks/smoke_fused_hw.py on the TPU and commit the table")
+    bad = [r.key for r in support_matrix.kernel_rows()
+           if not table[r.key]["ok"]]
+    assert not bad, f"kernel shapes failing on hardware: {bad}"
+    # The e2e compositions must be green too.
+    for key in ("e2e-point", "e2e-plane", "e2e-gicp"):
+        assert table.get(key, {}).get("ok"), key
+
+
 def test_fused_path_falls_back_at_big_capacity(rng):
     """rbc_point_moments with use_pallas=True at a no-legal-batch shape
     must silently take the XLA twin (not raise), and match it exactly."""
