@@ -173,6 +173,77 @@ def main() -> None:
                             "a_err": float("nan"),
                             "error": " ".join(str(e).split())[:300]}
 
+    # Sequence gate (VERDICT r2 item 7): a 100-frame rendered RGB-D
+    # sequence registered frame-to-frame as ONE device dispatch
+    # (lax.scan of full registrations), with drift measured against the
+    # renderer's ground-truth trajectory. Makes the odometry/SLAM claims
+    # as driver-reproducible as the iteration latency: ATE is global
+    # consistency over the whole path, RPE(10) is local drift per 10
+    # frames (Sturm et al. TUM metrics), and frames/s is the marginal
+    # rate ((T(100) - T(50)) / 50 — same differencing as the headline).
+    # Real Kinect captures need dataset egress this environment forbids
+    # (docs/ROADMAP.md); the rendered sequence with exact ground truth is
+    # the strictest available substitute.
+    seq: dict[str, float | str] = {}
+    try:
+        from functools import partial
+
+        from icp_tpu.slam.odometry import (absolute_trajectory_error,
+                                           odometry_chain_device,
+                                           relative_pose_error)
+        from icp_tpu.slam.se3 import Pose
+
+        n_frames = 100
+        poses = synthetic.orbit_trajectory(n_frames, radius_mm=120.0,
+                                           yaw_rad=0.12)
+        render = jax.jit(lambda q, t: get_landmarks(synthetic.render_cloud(
+            scene, synthetic.CameraPose(q, t)).reshape(-1, 8)))
+        lms = jnp.stack([render(p.q, p.t) for p in poses])
+        jax.block_until_ready(lms)
+        measure_block()
+
+        seq_config = ICPConfig(max_iterations=15, estimate_scale=False,
+                               objective=Objective.PLANE)
+        # Zero-threshold params (the headline's): every frame runs the
+        # full 15 iterations, so the ks[-1] host read is a stable drain
+        # and frames/s is comparable across captures.
+        chain = jax.jit(partial(odometry_chain_device, params=params,
+                                config=seq_config))
+
+        def run_chain(seq_lms):
+            t0 = time.perf_counter()
+            wq, wt, ks = chain(seq_lms)
+            assert int(ks[-1]) == 15  # host read drains the async chain
+            return time.perf_counter() - t0, wq, wt
+
+        run_chain(lms)             # compile full length
+        run_chain(lms[: n_frames // 2])  # compile half length
+        t_hi = t_lo = float("inf")
+        for _ in range(3):
+            t_hi = min(t_hi, run_chain(lms)[0])
+            t_lo = min(t_lo, run_chain(lms[: n_frames // 2])[0])
+        _, wq, wt = run_chain(lms)
+        fps = (n_frames - n_frames // 2) / max(t_hi - t_lo, 1e-9)
+
+        est = [Pose(np.asarray(wq[i]), np.asarray(wt[i]))
+               for i in range(n_frames)]
+        gt = [se3.relative(poses[0], p) for p in poses]
+        ate = absolute_trajectory_error(est, gt)
+        rpe_t, _rpe_r = relative_pose_error(est, gt, delta=10)
+        path = sum(float(np.linalg.norm(np.asarray(gt[i + 1].t)
+                                        - np.asarray(gt[i].t)))
+                   for i in range(n_frames - 1))
+        gates["sequence"] = {"ok": bool(ate < 20.0 and rpe_t < 5.0),
+                             "t_err": ate, "a_err": _rpe_r}
+        seq = {"odometry_ate_mm_100f": round(ate, 3),
+               "odometry_rpe10_mm": round(rpe_t, 3),
+               "odometry_path_mm": round(path, 1),
+               "odometry_frames_per_s": round(fps, 1)}
+    except Exception as e:  # noqa: BLE001 - record, never abort bench
+        gates["sequence"] = {"ok": False, "t_err": float("nan"),
+                             "a_err": float("nan"),
+                             "error": " ".join(str(e).split())[:300]}
+
     # Two more spread-out blocks; ~10 s apart, widening the sampled drift
     # horizon to the whole bench runtime.
     measure_block()
@@ -188,10 +259,15 @@ def main() -> None:
         "accuracy_ok": bool(all(g["ok"] for g in gates.values())),
     }
     for name, g in gates.items():
+        if name == "sequence":
+            continue  # reported via the odometry_* keys below
         out[f"{name}_t_err_mm"] = round(g["t_err"], 4)
         out[f"{name}_ang_err_deg"] = round(g["a_err"], 5)
         if "error" in g:
             out[f"{name}_error"] = g["error"]
+    out.update(seq)
+    if "error" in gates.get("sequence", {}):
+        out["sequence_error"] = gates["sequence"]["error"]
     print(json.dumps(out))
 
 
