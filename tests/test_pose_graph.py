@@ -141,6 +141,80 @@ def test_pcg_matches_dense(rng):
     assert c_pcg <= c_dense * 1.05
 
 
+def _circle_graph(rng, n=64, noise_t=0.5, noise_deg=0.05, n_loops=8):
+    """Chain around a 400 mm circle + long-range loop closures, initialized
+    by integrating the noisy chain (the classic pose-graph stress case).
+    Plain GN with fixed tiny damping DIVERGES to NaN on this graph — the
+    first step overshoots by meters (round-3 bisect) — so this doubles as
+    the LM accept/reject regression fixture."""
+    ts = np.stack([[400 * np.cos(2 * np.pi * i / n), 0.0,
+                    400 * np.sin(2 * np.pi * i / n)] for i in range(n)],
+                  ).astype(np.float32)
+    gt = [se3.Pose(jnp.asarray(np.array([0, 0, 0, 1], np.float32)),
+                   jnp.asarray(ts[i])) for i in range(n)]
+    span = min(50, n - 10)
+    edges = [(i, i + 1) for i in range(n - 1)]
+    edges += [(int(i), int(i) + span)
+              for i in rng.integers(0, n - span - 1, n_loops)]
+    meas = []
+    for (i, j) in edges:
+        xi = np.concatenate([rng.normal(0, noise_t, 3),
+                             noise_deg * np.pi / 180 * rng.normal(0, 1, 3)])
+        meas.append(se3.compose(se3.exp(jnp.asarray(xi.astype(np.float32))),
+                                se3.relative(gt[i], gt[j])))
+    init = [se3.Pose.identity()]
+    for k in range(n - 1):
+        init.append(se3.compose(init[-1], meas[k]))
+    return graph_from_poses([p.q for p in init], [p.t for p in init],
+                            edges, meas)
+
+
+def test_lm_survives_divergent_graph(rng):
+    """Regression: the 64-node circle graph on which undamped GN (fixed
+    damping=1e-6) diverged to NaN in <6 iterations. LM accept/reject must
+    stay finite AND converge."""
+    graph = _circle_graph(rng)
+    c0 = float(graph_cost(graph))
+    out = optimize(graph, iterations=10)
+    assert not bool(jnp.any(jnp.isnan(out.q)) | jnp.any(jnp.isnan(out.t)))
+    c1 = float(graph_cost(out))
+    assert np.isfinite(c1) and c1 < c0 * 0.2, (c0, c1)
+
+
+def test_lm_pcg_survives_divergent_graph(rng):
+    from icp_tpu.slam.pose_graph import optimize_pcg
+
+    graph = _circle_graph(rng)
+    out = optimize_pcg(graph, iterations=10, cg_iterations=64)
+    c1 = float(graph_cost(out))
+    assert np.isfinite(c1) and c1 < float(graph_cost(graph)) * 0.2
+
+
+def test_sharded_pcg_matches_single(rng):
+    """Edge-sharded matrix-free LM-PCG over an 8-way mesh lands in the same
+    optimum basin as the single-device dense LM."""
+    import jax
+
+    from icp_tpu.parallel.mesh import make_mesh
+    from icp_tpu.slam.pose_graph import (make_sharded_optimize_pcg,
+                                         pad_edges)
+
+    graph = _circle_graph(rng)
+    single = optimize(graph, iterations=8)
+
+    mesh = make_mesh(8, 1)
+    run = make_sharded_optimize_pcg(mesh, n_nodes=graph.q.shape[0],
+                                    iterations=8, cg_iterations=64)
+    out = jax.block_until_ready(run(pad_edges(graph, 8)))
+
+    c_single = float(graph_cost(single))
+    c_out = float(graph_cost(graph._replace(q=out.q, t=out.t)))
+    assert np.isfinite(c_out) and c_out <= c_single * 1.25, (c_single, c_out)
+    # Same basin: node positions agree to a few mm on a 400 mm circle.
+    np.testing.assert_allclose(np.asarray(out.t), np.asarray(single.t),
+                               atol=8.0)
+
+
 def test_pcg_scales_to_large_graph(rng):
     """A 256-node loop with several closures: PCG must reduce cost sharply
     without ever materializing the (256*6)^2 dense system."""
