@@ -212,6 +212,22 @@ def _gn_math(p, nm, qvalid, reps_blk, bins_vals, sq_b, G, b_row, alpha,
         return jax.lax.dot_general(v * wr[:, None, :], v,
                                    (((2,), (2,)), ((0,), (0,))),
                                    precision=_HI)
+    if v_layout == "rowcat":
+        # GN rows concatenated along the query (sublane) axis: v is
+        # (BB, R*cq, 8) and the whole moment reduction is ONE dot_general
+        # with contraction depth R*cq, instead of "sublane"'s R sequential
+        # accumulate steps whose intermediates the Mosaic stack allocator
+        # keeps live simultaneously (the GICP bb=8 VMEM ceiling —
+        # VERDICT r2). cq is a multiple of 8, so the sublane concat is
+        # always layout-legal. Single-row modes reduce to "sublane"
+        # exactly.
+        v = (jnp.concatenate([jnp.stack(r, axis=-1) for r in rows], axis=1)
+             if len(rows) > 1 else jnp.stack(rows[0], axis=-1))
+        wr = (jnp.concatenate([w] * len(rows), axis=-1)
+              if len(rows) > 1 else w)
+        return jax.lax.dot_general(v * wr[..., None], v,
+                                   (((1,), (1,)), ((0,), (0,))),
+                                   precision=_HI)
     assert v_layout == "sublane", v_layout
     P = jnp.zeros(p.shape[:1] + (8, 8), p.dtype)
     for r in rows:

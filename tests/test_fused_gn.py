@@ -90,10 +90,11 @@ def test_gn_kernel_matches_ref_twin(rng, mode):
     np.testing.assert_allclose(np.asarray(V_k), np.asarray(V_r), atol=tol)
 
 
-@pytest.mark.parametrize("mode", ["plane", "gicp"])
+@pytest.mark.parametrize("mode", ["plane", "plane_sym", "gicp"])
 def test_gn_v_layouts_agree(rng, mode):
-    """The "lane" moment layout (v components on sublanes, GN rows tiling
-    the lane axis — see _gn_math) computes the same per-bin P as the
+    """Every alternative moment layout — "lane" (components on sublanes,
+    rows x queries on lanes) and "rowcat" (rows concatenated along the
+    query axis, one dot_general) — computes the same per-bin P as the
     original "sublane" layout, reduction order aside."""
     from icp_tpu.kernels.fused_gn import bin_gn_moments_ref
     from icp_tpu.rbc.grouping import group_rows_by_bin
@@ -110,11 +111,12 @@ def test_gn_v_layouts_agree(rng, mode):
             gl.valid.astype(moving.dtype), idx.reps, idx.bins_vals12,
             idx.sq_b_masked, G, b_row, jnp.float32(ALPHA))
     kw = dict(mode=mode, weighted=True, gicp_eps=1e-3)
-    P_lane = bin_gn_moments_ref(*args, v_layout="lane", **kw)
     P_sub = bin_gn_moments_ref(*args, v_layout="sublane", **kw)
     tol = 1e-4 * max(float(jnp.max(jnp.abs(P_sub))), 1.0)
-    np.testing.assert_allclose(np.asarray(P_lane), np.asarray(P_sub),
-                               atol=tol)
+    for layout in ("lane", "rowcat"):
+        P_alt = bin_gn_moments_ref(*args, v_layout=layout, **kw)
+        np.testing.assert_allclose(np.asarray(P_alt), np.asarray(P_sub),
+                                   atol=tol, err_msg=layout)
 
 
 def test_gicp_cholesky_rows_reproduce_inverse(rng):
