@@ -1,12 +1,11 @@
 """Hardware A/B: "rowcat" vs "sublane" GN moment layouts (round 3).
 
 The GICP kernel's VMEM ceiling is the "sublane" layout's three SEQUENTIAL
-row accumulations — Mosaic's stack allocator keeps each row's intermediates
-live across the accumulate chain, so gicp needs ~2.5x plane's stack and is
-forced down to bin_batch=8 (VERDICT r2 item 5). "rowcat" concatenates the
-three GN rows along the query axis and reduces them with ONE dot_general;
-this probe measures (a) which bin batches compile per layout, (b) parity
-vs the XLA twin, (c) wall-clock per call at the flagship shape.
+row accumulations (VERDICT r2 item 5); "rowcat" concatenates the three GN
+rows along the query axis and reduces them with ONE dot_general. This
+probe (1) checks compile legality per bin batch on the real chip, and
+(2) times the layouts interleaved with kernel-only scan loops and marginal
+differencing (the tunnel's ~25 ms dispatch RTT swamps single-call timing).
 
 Run on the real chip (no env override), AFTER any bench has finished —
 concurrent processes contend for the single tunneled chip grant.
@@ -15,48 +14,99 @@ from __future__ import annotations
 
 import sys
 import time
+from functools import partial
 
-import numpy as np
 import jax
+import jax.numpy as jnp
+import numpy as np
 
-from icp_tpu.kernels.fused_gn import (
-    bin_gn_moments_pallas,
-    bin_gn_moments_ref,
-)
-from benchmarks.repro_gn import make_inputs
+N_HI, N_LO = 60, 12
+ROUNDS = 6
 
 
 def main():
-    mg, nm, qvalid, reps, vals, sq_b, G, b_row = make_inputs()
+    from icp_tpu import ICPConfig, ICPParams, Objective
+    from icp_tpu.icp.run import build_index
+    from icp_tpu.icp.state import identity_state
+    from icp_tpu.kernels import fused_gn
+    from icp_tpu.ops.normals import normals_for
+    from icp_tpu.rbc.grouping import group_rows_by_bin
+    from icp_tpu.rbc.search import rbc_point_assign
+    from __graft_entry__ import _synthetic_pair
+
+    cfg = ICPConfig(objective=Objective.GICP, estimate_scale=False)
+    params = ICPParams(alpha=2e2).as_f32()
+    fixed_np, moving_np = _synthetic_pair(16384)
+    fixed, moving = jnp.asarray(fixed_np), jnp.asarray(moving_np)
+    index = build_index(fixed, params, cfg)
+    st = identity_state()
+    mn = normals_for(moving, cfg.normal_mode)
+    rid, G, b_row = rbc_point_assign(index, moving, st.q, st.t, st.s,
+                                     params.alpha, use_pallas=True)
+    gl = group_rows_by_bin(rid, cfg.n_r, cfg.query_capacity, (moving, mn))
+    mg, nm = gl.grouped
+    qvalid = gl.valid.astype(moving.dtype)
     n_r, cq, _ = mg.shape
-    cb = vals.shape[1]
-    for mode in ("gicp", "plane", "plane_sym"):
-        nm_in = None if mode == "plane" else nm
-        ref = np.asarray(jax.block_until_ready(bin_gn_moments_ref(
-            mg, nm_in, qvalid, reps, vals, sq_b, G, b_row, 200.0,
-            mode=mode, weighted=True)))
-        scale = max(1.0, np.abs(ref).max())
-        for layout in ("rowcat", "sublane"):
-            for bb in (8, 16, 32):
+    cb = index.bins_vals12.shape[1]
+    print(f"shapes: n_r={n_r} cq={cq} cb={cb}", flush=True)
+
+    def call(mode, layout, bb, x):
+        return fused_gn.bin_gn_moments_pallas(
+            x, None if mode == "plane" else nm, qvalid, index.reps,
+            index.bins_vals12, index.sq_b_masked, G, b_row, params.alpha,
+            mode=mode, weighted=True, gicp_eps=1e-3, bin_batch=bb,
+            v_layout=layout)
+
+    # Legality probe (largest-first; each FAIL costs one Mosaic compile).
+    best_bb: dict[tuple[str, str], int] = {}
+    for mode in ("plane", "plane_sym", "gicp"):
+        for layout in ("sublane", "rowcat"):
+            for bb in (32, 16, 8):
+                if n_r % bb:
+                    continue
                 try:
-                    run = lambda: jax.block_until_ready(bin_gn_moments_pallas(
-                        mg, nm_in, qvalid, reps, vals, sq_b, G, b_row, 200.0,
-                        mode=mode, weighted=True, v_layout=layout,
-                        bin_batch=bb))
-                    out = np.asarray(run())
-                    err = np.abs(out - ref).max() / scale
-                    best = float("inf")
-                    for _ in range(20):
-                        t0 = time.perf_counter()
-                        run()
-                        best = min(best, time.perf_counter() - t0)
-                    print(f"{mode:10s} {layout:8s} bb={bb:2d} OK  "
-                          f"rel_err={err:.2e}  {best*1e3:.3f} ms/call",
+                    jax.block_until_ready(call(mode, layout, bb, mg))
+                except Exception as e:  # noqa: BLE001 - probing VMEM limit
+                    msg = str(e).split("\n")[0][:100]
+                    print(f"  {mode:10s} {layout:8s} bb={bb:3d} FAIL {msg}",
                           flush=True)
-                except Exception as e:  # noqa: BLE001
-                    msg = str(e).split("\n")[0][:120]
-                    print(f"{mode:10s} {layout:8s} bb={bb:2d} FAIL {msg}",
-                          flush=True)
+                    continue
+                best_bb[(mode, layout)] = bb
+                print(f"  {mode:10s} {layout:8s} bb={bb:3d} ok", flush=True)
+                break
+
+    def make_runner(mode, layout, bb):
+        @partial(jax.jit, static_argnames=("n",))
+        def run(mg0, n):
+            def body(c, _):
+                P = call(mode, layout, bb, c)
+                return c + P[0, 0, 0] * 1e-30, None
+            c, _ = jax.lax.scan(body, mg0, None, length=n)
+            return c
+
+        def t_of(n):
+            t0 = time.perf_counter()
+            out = run(mg, n)
+            float(np.asarray(out).ravel()[0])
+            return time.perf_counter() - t0
+
+        for n in (N_HI, N_LO):
+            t_of(n)
+        return t_of
+
+    for mode in ("plane", "plane_sym", "gicp"):
+        runners = {lay: make_runner(mode, lay, best_bb[(mode, lay)])
+                   for lay in ("sublane", "rowcat") if (mode, lay) in best_bb}
+        best = {lay: {N_HI: float("inf"), N_LO: float("inf")}
+                for lay in runners}
+        for _ in range(ROUNDS):
+            for lay, t_of in runners.items():
+                for n in (N_HI, N_LO):
+                    best[lay][n] = min(best[lay][n], t_of(n))
+        for lay in runners:
+            ms = (best[lay][N_HI] - best[lay][N_LO]) / (N_HI - N_LO) * 1e3
+            print(f"{mode:10s} {lay:8s} bb={best_bb[(mode, lay)]:3d} "
+                  f"{ms:.4f} ms/kernel", flush=True)
 
 
 if __name__ == "__main__":
