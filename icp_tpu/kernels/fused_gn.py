@@ -52,40 +52,49 @@ from jax.experimental.pallas import tpu as pltpu
 
 from icp_tpu.kernels.fused_step import (
     _HI,
+    _kernel_compiler_params,
     _lane_iota,
     _search_core,
-    DEFAULT_BIN_BATCH,
+    _STACK_BUDGET,
 )
 
 GN_MODES = ("plane", "plane_sym", "gicp")
 
 
 # Measured Mosaic stack bytes per bin-slot-pair (cq x cb) for the DEFAULT
-# "sublane" v layout, by mode — the stack allocator does NOT reuse buffers
-# across the GICP path's three sequential row accumulations, so gicp is
-# ~2.5x plane. Anchors (v5e, cq=96, cb=128): plane bb=32 FAILS at
-# 17.80 MB actual (45.3 B/slot; the 50 here rejects it with margin) and
-# bb=16 compiles; gicp bb=16 FAILS at 21.41 MB (109 B/slot) and bb=8
-# compiles — both verified on hardware by benchmarks/smoke_fused_hw.py,
-# which must be re-run after ANY change to these anchors, the kernel
-# body, or the capacity policy. The "lane" layout is experimental-only
-# (it allocates ~2x MORE stack than sublane despite its smaller logical
-# footprint — 37.5 MB at plane bb=16 — so it never wins a probe at
-# production shapes; see _gn_math's v_layout docstring).
+# "sublane" v layout, by mode (v5e anchors at cq=96, cb=128: plane bb=32
+# = 17.80 MB actual -> 45.3 B/slot; gicp bb=16 = 21.41 MB -> 109 B/slot).
+# Since round 3 raised the per-kernel Mosaic limit to KERNEL_VMEM_LIMIT
+# (see fused_step), these anchors no longer FORCE small batches at
+# production shapes — batch choice below is by MEASURED speed — but they
+# still gate extreme-capacity shapes against _STACK_BUDGET so those fall
+# back to the XLA twin. The "lane" layout is experimental-only (it
+# allocates ~2x MORE stack than sublane despite its smaller logical
+# footprint — 37.5 MB at plane bb=16; see _gn_math's v_layout docstring).
 _GN_BYTES_PER_SLOT = {"plane": 50, "plane_sym": 60, "gicp": 118}
+
+# Full-dim blocks above this are never worth it (grid pipelining dies).
+_GN_MAX_FULL_DIM = 32
 
 
 def _auto_bin_batch_gn(n_r: int, cq: int, cb: int, mode: str) -> int:
-    """VMEM-aware bin batch for the GN kernel (same policy as
-    fused_step._auto_bin_batch, wider per-bin footprint: the 12-lane
-    matched payload, the scalar residual/Jacobian planes, and — in the
-    sym/gicp modes — the grouped moving-normal table)."""
+    """MEASURED-fastest legal bin batch for the GN kernel.
+
+    Preference comes from the round-3 same-process FULL-REGISTRATION A/B
+    at the flagship shape (isolated-kernel rankings invert when composed;
+    see fused_step._auto_bin_batch): plane bb=32 0.367 ms/iteration vs
+    bb=16 0.385 — bb=32 (17.8 MB stack) is exactly the shape the old
+    16 MB default Mosaic limit rejected, and is the raised
+    KERNEL_VMEM_LIMIT's production win; gicp bb=8 0.683 vs bb=16 0.699.
+    The byte-per-slot stack model gates extreme shapes to the XLA twin
+    (same rule as fused_step._auto_bin_batch)."""
     out_bytes = n_r * 8 * 128 * 4
-    budget = 15 * 1024 * 1024 - out_bytes
+    budget = _STACK_BUDGET - out_bytes
     per_bin = _GN_BYTES_PER_SLOT[mode] * cq * cb
-    if n_r <= DEFAULT_BIN_BATCH and n_r * per_bin <= budget:
+    if n_r <= _GN_MAX_FULL_DIM and n_r * per_bin <= budget:
         return n_r
-    for bb in (32, 16, 8):
+    candidates = (8, 16, 32) if mode == "gicp" else (32, 16, 8)
+    for bb in candidates:
         if bb <= n_r and n_r % bb == 0 and bb * per_bin <= budget:
             return bb
     return 0
@@ -261,7 +270,8 @@ def _make_gn_kernel(mode: str, weighted: bool, robust: str, with_nm: bool,
 
 @functools.partial(jax.jit, static_argnames=("mode", "weighted", "robust",
                                              "bin_batch", "interpret",
-                                             "v_layout"))
+                                             "v_layout",
+                                             "vmem_limit_bytes"))
 def bin_gn_moments_pallas(mg: jnp.ndarray, nm: jnp.ndarray | None,
                           qvalid: jnp.ndarray, reps: jnp.ndarray,
                           bins_vals: jnp.ndarray, sq_b_masked: jnp.ndarray,
@@ -269,6 +279,7 @@ def bin_gn_moments_pallas(mg: jnp.ndarray, nm: jnp.ndarray | None,
                           mode: str, weighted: bool, robust: str = "none",
                           robust_delta=0.0, gicp_eps=0.0,
                           bin_batch: int = 0, v_layout: str = "sublane",
+                          vmem_limit_bytes: int = 0,
                           interpret: bool = False) -> jnp.ndarray:
     """Fused per-bin search + weighting + GN-row moment reduction.
 
@@ -343,6 +354,7 @@ def bin_gn_moments_pallas(mg: jnp.ndarray, nm: jnp.ndarray | None,
     rows_per_pair = 3 if mode == "gicp" else 1
     return pl.pallas_call(
         _make_gn_kernel(mode, weighted, robust, with_nm, v_layout),
+        compiler_params=_kernel_compiler_params(vmem_limit_bytes),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bin_batch, d, d), i3,

@@ -69,7 +69,31 @@ from icp_tpu.ops.moments import robust_factor
 DEFAULT_BLOCK_M = 2048
 DEFAULT_BIN_BATCH = 32
 
+# Mosaic's DEFAULT scoped-VMEM limit (~16 MB) is a compiler default, not
+# the chip's physical VMEM — the round-3 probe (benchmarks/
+# probe_vmem_limit.py) compiled every production kernel up to ~45 MB
+# stacks on the v5e once the limit was raised per-kernel via
+# pltpu.CompilerParams(vmem_limit_bytes=...). All production pallas_calls
+# raise it to KERNEL_VMEM_LIMIT; the _auto_* policies gate batch sizes
+# against _STACK_BUDGET so the XLA-twin fallback behavior at huge
+# capacities is preserved. Batch PREFERENCE is by measured FULL-ITERATION
+# cost, which inverts isolated-kernel rankings (composition effects):
+# POINT bb=64 wins a kernel-only scan loop 0.098 vs 0.138 ms, yet loses
+# the registration A/B 0.391 vs 0.364 ms/iteration — so 32 stays the
+# leading candidate and the raised limit's production win is admitting
+# previously-over-limit shapes (fused_gn: plane bb=32, 17.8 MB stack,
+# -5% iteration) rather than giant batches here.
+KERNEL_VMEM_LIMIT = 64 * 1024 * 1024
+_STACK_BUDGET = 32 * 1024 * 1024
+
 _HI = jax.lax.Precision.HIGHEST
+
+
+def _kernel_compiler_params(vmem_limit_bytes: int = 0):
+    """CompilerParams raising Mosaic's scoped-VMEM limit (0 = policy
+    default KERNEL_VMEM_LIMIT)."""
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=vmem_limit_bytes or KERNEL_VMEM_LIMIT)
 
 
 def dot3(a: jnp.ndarray, b: jnp.ndarray, dims, *,
@@ -138,20 +162,23 @@ def _auto_block_m(m: int, n_r: int) -> int:
 
 
 def _auto_bin_batch(n_r: int, cq: int, cb: int) -> int:
-    """Largest LEGAL power-of-two bin batch (<= DEFAULT_BIN_BATCH) dividing
-    n_r that keeps the kernel's Mosaic stack + the (n_r, 8, 8) output
-    (which XLA may pin in VMEM, padded to (n_r, 8, 128)) under the 16 MB
-    scoped limit. Anchored on measurement: bin_batch=32 at cq=cb=128
-    allocates a ~13.8 MB stack (~28 B per bin-slot-pair); n_r=1024 OOMed
-    at 17.84 MB with the same batch because its output pad is 4 MB.
+    """MEASURED-fastest legal bin batch for the POINT moment kernel.
+
+    bb=32 is the measured full-iteration optimum (0.364 ms/iteration vs
+    0.391 at bb=64 in the round-3 same-process registration A/B — even
+    though bb=64 wins the ISOLATED kernel scan 0.098 vs 0.138 ms; batch
+    preference must be judged composed, not kernel-only). Candidates are
+    gated by the ~28 B-per-bin-slot-pair stack model against
+    _STACK_BUDGET (minus the (n_r, 8, 128)-padded output XLA may pin in
+    VMEM) so extreme-capacity shapes keep falling back to the XLA twin.
 
     Legality: the kernel's 2-D inputs get (bin_batch, cq)-shaped blocks
     whose SUBLANE dim is bin_batch — Mosaic requires it to be a multiple
     of 8 or equal to the full array dim (n_r). Returns 0 when no legal
-    batch fits the VMEM budget (big-capacity shapes, e.g. mean occupancy
+    batch fits the stack budget (big-capacity shapes, e.g. mean occupancy
     >= 256); callers fall back to the identical-math XLA twin."""
     out_bytes = n_r * 8 * 128 * 4
-    budget = 15 * 1024 * 1024 - out_bytes
+    budget = _STACK_BUDGET - out_bytes
     per_bin = 28 * cq * cb
     # Full-dim block is always Mosaic-legal (sublane == array dim); capped
     # at DEFAULT_BIN_BATCH (the measured grid-amortization anchor).
@@ -272,6 +299,7 @@ def rep_assign_pallas(moving8: jnp.ndarray, C: jnp.ndarray,
 
     rid = pl.pallas_call(
         _rep_assign_kernel,
+        compiler_params=_kernel_compiler_params(),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, d), lambda i: (i, 0),
@@ -419,13 +447,14 @@ def _make_moment_kernel(weighted: bool, robust: str):
 
 
 @functools.partial(jax.jit, static_argnames=("weighted", "robust",
-                                             "bin_batch", "interpret"))
+                                             "bin_batch", "interpret",
+                                             "vmem_limit_bytes"))
 def bin_point_moments_pallas(mg: jnp.ndarray, qvalid: jnp.ndarray,
                              reps: jnp.ndarray, bins_c: jnp.ndarray,
                              sq_b_masked: jnp.ndarray, G: jnp.ndarray,
                              b_row: jnp.ndarray, alpha, *, weighted: bool,
                              robust: str = "none", robust_delta=0.0,
-                             bin_batch: int = 0,
+                             bin_batch: int = 0, vmem_limit_bytes: int = 0,
                              interpret: bool = False) -> jnp.ndarray:
     """Fused per-bin search + weighting + 8x8 moment reduction.
 
@@ -472,6 +501,7 @@ def bin_point_moments_pallas(mg: jnp.ndarray, qvalid: jnp.ndarray,
 
     return pl.pallas_call(
         _make_moment_kernel(weighted, robust),
+        compiler_params=_kernel_compiler_params(vmem_limit_bytes),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bin_batch, cq, d), i3, memory_space=pltpu.VMEM),

@@ -30,15 +30,33 @@ def test_rep_assign_block_divides_odd_sizes():
 
 
 def test_moments_bin_batch_flagship_keeps_32():
+    # bb=32 is the measured FULL-ITERATION optimum (round-3 registration
+    # A/B: 0.364 ms vs 0.391 at bb=64, even though the isolated kernel
+    # scan prefers 64) — composition, not kernel-only speed, decides.
     assert moments_bb(256, 128, 128) == 32
+    assert moments_bb(256, 96, 128) == 32
 
 
-def test_moments_bin_batch_shrinks_at_1024_bins():
-    # n_r=1024 OOMed at bin_batch=32 (17.84 MB); auto must drop it
+def test_moments_bin_batch_fits_budget_at_1024_bins():
+    # n_r=1024's 4 MB padded output eats into the stack budget; auto must
+    # stay within _STACK_BUDGET
+    from icp_tpu.kernels.fused_step import _STACK_BUDGET
+
     bb = moments_bb(1024, 128, 128)
-    assert bb <= 16 and 1024 % bb == 0
+    assert bb == 32 and 1024 % bb == 0
     out_bytes = 1024 * 8 * 128 * 4
-    assert bb * 28 * 128 * 128 + out_bytes <= 15 * 1024 * 1024
+    assert bb * 28 * 128 * 128 + out_bytes <= _STACK_BUDGET
+
+
+def test_gn_bin_batch_measured_preferences():
+    # plane rides the raised VMEM limit to bb=32 (17.8 MB stack — the
+    # exact shape the default 16 MB Mosaic limit rejected in round 2);
+    # gicp's measured optimum stays 8.
+    from icp_tpu.kernels.fused_gn import _auto_bin_batch_gn
+
+    assert _auto_bin_batch_gn(256, 96, 128, "plane") == 32
+    assert _auto_bin_batch_gn(256, 96, 128, "plane_sym") == 32
+    assert _auto_bin_batch_gn(256, 96, 128, "gicp") == 8
 
 
 def test_search_bin_batch_shrinks_at_gicp_payload():
@@ -64,9 +82,11 @@ def test_batches_always_divide_and_are_mosaic_legal():
                 assert n_r % bb == 0, (n_r, cap, bb)
                 assert bb % 8 == 0 or bb == n_r, (n_r, cap, bb)
     # The regression shape the halving bug produced: n_r=24 at capacities
-    # where the full-dim block exceeds budget but 12 would "fit".
+    # where 12 would "fit" the byte model but violates the sublane rule.
+    # Legal outcomes: the full-dim block (24 == n_r, allowed since the
+    # round-3 budget raise), a multiple of 8, or the XLA fallback.
     for bb in (moments_bb(24, 128, 256), search_bb(24, 128, 256, 12)):
-        assert bb in (0, 8), bb
+        assert bb in (0, 8, 24), bb
 
 
 def test_big_capacity_shapes_fall_back():
@@ -139,18 +159,24 @@ def test_fused_path_falls_back_at_big_capacity(rng):
     from icp_tpu.rbc.search import rbc_point_moments
     from tests.utils import make_cloud8
 
+    from icp_tpu.kernels.fused_step import moments_kernel_fits
+
     db = make_cloud8(rng, 256)
     reps = db[rng.choice(256, 4, replace=False)]
+    # cb=768 with n_r=4: 28 B/slot x 768 x 768 x 4 bins exceeds the stack
+    # budget even for the full-dim block (the raised round-3 budget admits
+    # the old 512 shape, which now legitimately takes the kernel).
+    assert not moments_kernel_fits(4, 768, 768)
     idx = rbc_construct(jnp.asarray(db), jnp.asarray(reps),
-                        jnp.float32(150.0), 512)  # cb=512 with n_r=4
+                        jnp.float32(150.0), 768)
     moving = jnp.asarray(make_cloud8(rng, 256))
     st = identity_state()
     kw = dict(weighted=True)
     out_p = rbc_point_moments(idx, moving, st.q, st.t, st.s,
-                              jnp.float32(150.0), jnp.float32(1e-6), 512,
+                              jnp.float32(150.0), jnp.float32(1e-6), 768,
                               use_pallas=True, interpret=True, **kw)
     out_r = rbc_point_moments(idx, moving, st.q, st.t, st.s,
-                              jnp.float32(150.0), jnp.float32(1e-6), 512,
+                              jnp.float32(150.0), jnp.float32(1e-6), 768,
                               use_pallas=False, **kw)
     for a, b in zip(out_p, out_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
