@@ -34,11 +34,32 @@ ROUNDS = 6
 BB = 16
 
 
+def _chol3_inv_rows(m11, m21, m22, m31, m32, m33):
+    """The ROUND-2 closed-form Cholesky rows this probe's findings
+    retired from the production kernel (kept here so the ablation stays
+    reproducible): rows of L^{-1} for the SPD 3x3 M = L L^T."""
+    import jax.numpy as jnp
+
+    l11 = jnp.sqrt(m11)
+    i11 = 1.0 / l11
+    l21 = m21 * i11
+    l31 = m31 * i11
+    l22 = jnp.sqrt(m22 - l21 * l21)
+    i22 = 1.0 / l22
+    l32 = (m32 - l31 * l21) * i22
+    l33 = jnp.sqrt(jnp.maximum(m33 - l31 * l31 - l32 * l32, 1e-12))
+    i33 = 1.0 / l33
+    u1 = (i11, None, None)
+    u2 = (-l21 * i11 * i22, i22, None)
+    u3 = ((l21 * l32 - l31 * l22) * (i11 * i22 * i33),
+          -l32 * i22 * i33, i33)
+    return u1, u2, u3
+
+
 def main():
     from icp_tpu import ICPConfig, ICPParams, Objective
     from icp_tpu.icp.run import build_index
     from icp_tpu.icp.state import identity_state
-    from icp_tpu.kernels.fused_gn import _chol3_inv_rows
     from icp_tpu.kernels.fused_step import (
         _HI,
         _kernel_compiler_params,
@@ -89,6 +110,65 @@ def main():
         zeros = jnp.zeros_like(mx)
         if variant == "plane":
             rows = [row_planes(nfx, nfy, nfz)]
+        elif variant == "gicp-wb2":
+            # Candidate round-3+ form: 2 data rows (s, t) + ONE stack-free
+            # z-moment z = [m, d, 1, 0] standing in for the 3 constant
+            # rows (their sum B B^T is linear in P_z = sum w z z^T; the
+            # tiny reassembly runs in XLA outside the kernel). For TIMING
+            # the kernel returns P_st + P_z (same compute cost as the
+            # real two-output form; parity is not checked here).
+            from icp_tpu.kernels.fused_step import _lane_iota
+
+            nmx, nmy, nmz = nmv[..., 0], nmv[..., 1], nmv[..., 2]
+            e = 1.0 - 1e-3
+            cth = nfx * nmx + nfy * nmy + nfz * nmz
+            gs = e / (4.0 * (2.0 - e * (1.0 + cth)))
+            gt = e / (4.0 * (2.0 - e * (1.0 - cth)))
+            P = jnp.zeros(p.shape[:1] + (8, 8), p.dtype)
+            for r, wf in [
+                    (row_planes(nfx + nmx, nfy + nmy, nfz + nmz), gs),
+                    (row_planes(nfx - nmx, nfy - nmy, nfz - nmz), gt)]:
+                v = jnp.stack(r, axis=-1)
+                P = P + jax.lax.dot_general(
+                    v * (w * wf)[..., None], v,
+                    (((1,), (1,)), ((0,), (0,))), precision=_HI)
+            # z = m in lanes 0:3, d in lanes 3:6, 1 in lane 6 — all lane
+            # ops: mask + one constant shift matmul + iota select.
+            lane = _lane_iota((1, 1, 8), 2)
+            mask03 = (lane < 3).astype(p.dtype)
+            shift03_36 = (
+                (_lane_iota((8, 8), 1) == _lane_iota((8, 8), 0) + 3)
+                & (_lane_iota((8, 8), 0) < 3)).astype(p.dtype)
+            dfull = (qc - matched[..., :8]) * mask03
+            z = (qc * mask03
+                 + jax.lax.dot_general(dfull, shift03_36,
+                                       (((2,), (0,)), ((), ())),
+                                       precision=_HI)
+                 + (lane == 6).astype(p.dtype))
+            P_z = jax.lax.dot_general(z * w[..., None], z,
+                                      (((1,), (1,)), ((0,), (0,))),
+                                      precision=_HI)
+            return P + P_z
+        elif variant == "gicp-wb":
+            # The round-3 production decomposition (Woodbury; see
+            # kernels/fused_gn.py): 3 constant rows at w/2 + 2 data rows.
+            nmx, nmy, nmz = nmv[..., 0], nmv[..., 1], nmv[..., 2]
+            e = 1.0 - 1e-3
+            cth = nfx * nmx + nfy * nmy + nfz * nmz
+            gs = e / (4.0 * (2.0 - e * (1.0 + cth)))
+            gt = e / (4.0 * (2.0 - e * (1.0 - cth)))
+            pairs = [(row_planes(ones, zeros, zeros), 0.5),
+                     (row_planes(zeros, ones, zeros), 0.5),
+                     (row_planes(zeros, zeros, ones), 0.5),
+                     (row_planes(nfx + nmx, nfy + nmy, nfz + nmz), gs),
+                     (row_planes(nfx - nmx, nfy - nmy, nfz - nmz), gt)]
+            P = jnp.zeros(p.shape[:1] + (8, 8), p.dtype)
+            for r, wf in pairs:
+                v = jnp.stack(r, axis=-1)
+                P = P + jax.lax.dot_general(
+                    v * (w * wf)[..., None], v,
+                    (((1,), (1,)), ((0,), (0,))), precision=_HI)
+            return P
         else:
             nmx, nmy, nmz = nmv[..., 0], nmv[..., 1], nmv[..., 2]
             if variant == "gicp-nochol":
@@ -171,7 +251,7 @@ def main():
 
         return call
 
-    variants = ("plane", "gicp-nochol", "gicp-1row", "gicp-m", "gicp")
+    variants = ("plane", "gicp", "gicp-wb", "gicp-wb2")
     calls = {}
     for v in variants:
         try:

@@ -51,11 +51,14 @@ def main():
     print(f"shapes: n_r={n_r} cq={cq} cb={cb}", flush=True)
 
     def call(mode, layout, bb, x):
-        return fused_gn.bin_gn_moments_pallas(
+        out = fused_gn.bin_gn_moments_pallas(
             x, None if mode == "plane" else nm, qvalid, index.reps,
             index.bins_vals12, index.sq_b_masked, G, b_row, params.alpha,
             mode=mode, weighted=True, gicp_eps=1e-3, bin_batch=bb,
             v_layout=layout)
+        # gicp returns (P, P_z) since the round-3 Woodbury split; fold
+        # for shape-uniform timing (the add is noise).
+        return out[0] + out[1] if isinstance(out, tuple) else out
 
     # Legality probe (largest-first; each FAIL costs one Mosaic compile).
     best_bb: dict[tuple[str, str], int] = {}

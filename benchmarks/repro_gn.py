@@ -54,12 +54,16 @@ def main():
         bb = _auto_bin_batch_gn(n_r, cq, cb, mode)
         ref = bin_gn_moments_ref(mg, nm_in, qvalid, reps, vals, sq_b, G,
                                  b_row, 200.0, mode=mode, weighted=True)
+        if isinstance(ref, tuple):  # gicp: (P, P_z) since round 3
+            ref = ref[0] + ref[1]
         ref = np.asarray(jax.block_until_ready(ref))
         for layout in ("lane", "sublane"):
             try:
                 out = bin_gn_moments_pallas(
                     mg, nm_in, qvalid, reps, vals, sq_b, G, b_row, 200.0,
                     mode=mode, weighted=True, v_layout=layout)
+                if isinstance(out, tuple):
+                    out = out[0] + out[1]
                 out = np.asarray(jax.block_until_ready(out))
                 scale = max(1.0, np.abs(ref).max())
                 err = np.abs(out - ref).max() / scale

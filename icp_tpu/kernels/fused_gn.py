@@ -13,17 +13,29 @@ The unifying algebra: every GN row of both objectives has the form
 
     v = [u, m x u, u . (m - f), 1]          (8 lanes)
 
-for a direction u — the point-to-plane row with u = n (or the symmetric
-n_f + R n_m), and the GICP row TRIPLE with u_k = rows of L^{-1} where
-M = C_f + R C_m R^T = L L^T is the pair's 3x3 Mahalanobis denominator
-(closed-form Cholesky; SPD by construction with eigenvalues in [2 eps, 2],
-see icp.gicp.disk_covariance_sum). That works because
+for a direction u with a per-row weight g — the point-to-plane row with
+u = n, g = 1 (or the symmetric n_f + R n_m). GICP's 3x3 Mahalanobis
+denominator M = C_f + R C_m R^T = 2I - (1-eps)(n_f n_f^T + n_m n_m^T)
+(icp.gicp.disk_covariance_sum) has the exact sqrt-free inverse
 
-    J^T M^{-1} J = (L^{-1} J)^T (L^{-1} J),   row_k(L^{-1} J) = u_k^T J,
-    u^T J = [u ; m x u]        (J = [I | -[m]_x], cross product linear in u)
+    M^{-1} = I/2 + e/(4 L_s) s s^T + e/(4 L_t) t t^T
+    s = n_f + n_m,  t = n_f - n_m,  c = n_f . n_m,  e = 1 - eps
+    L_s = 2 - e (1 + c),  L_t = 2 - e (1 - c)
 
-so GICP's anisotropically-weighted system is EXACTLY three plane-style
-rank-1 rows per pair — no per-pair eigendecomposition, no 3x3 solves.
+(s and t are orthogonal for unit/zero normals, diagonalizing the rank-2
+update; eigenvalue floor 2 eps keeps the divides f32-safe). Since
+J^T M^{-1} J decomposes over M^{-1}'s rank-1 terms and
+u^T J = [u ; m x u] (J = [I | -[m]_x], cross product linear in u),
+GICP = two data rows (u = s, g = e/4L_s and u = t, g = e/4L_t) plus the
+isotropic I/2 term, which the kernel carries as a second, STACK-FREE
+moment output P_z = sum w z z^T over z = [m, d, 1, 0];
+:func:`gicp_const_moment` expands P_z into the three constant-direction
+rows' moment sum in plain XLA outside the kernel. No per-pair
+eigendecomposition, no 3x3 solves, and (round 3) no Cholesky: the
+closed-form-Cholesky chain this replaces was a ~25-op serial sqrt/divide
+dependency that alone cost +0.13 ms of the 0.42 ms round-2 kernel, and
+each stacked GN row costs ~0.05-0.08 ms regardless of its direction math
+(benchmarks/profile_gicp_anatomy.py) — hence two rows, not three or five.
 
 The per-bin moment matrix P_b = sum_i w_i v_i v_i^T (m CENTERED on the
 bin representative, m x u in raw mm) then carries the whole system:
@@ -85,7 +97,8 @@ def _auto_bin_batch_gn(n_r: int, cq: int, cb: int, mode: str) -> int:
     see fused_step._auto_bin_batch): plane bb=32 0.367 ms/iteration vs
     bb=16 0.385 — bb=32 (17.8 MB stack) is exactly the shape the old
     16 MB default Mosaic limit rejected, and is the raised
-    KERNEL_VMEM_LIMIT's production win; gicp bb=8 0.683 vs bb=16 0.699.
+    KERNEL_VMEM_LIMIT's production win. gicp (Woodbury z-moment kernel):
+    bb=16 0.449 vs bb=32 0.472 vs bb=8 0.574 ms/iteration.
     The byte-per-slot stack model gates extreme shapes to the XLA twin
     (same rule as fused_step._auto_bin_batch)."""
     out_bytes = n_r * 8 * 128 * 4
@@ -93,7 +106,7 @@ def _auto_bin_batch_gn(n_r: int, cq: int, cb: int, mode: str) -> int:
     per_bin = _GN_BYTES_PER_SLOT[mode] * cq * cb
     if n_r <= _GN_MAX_FULL_DIM and n_r * per_bin <= budget:
         return n_r
-    candidates = (8, 16, 32) if mode == "gicp" else (32, 16, 8)
+    candidates = (16, 32, 8) if mode == "gicp" else (32, 16, 8)
     for bb in candidates:
         if bb <= n_r and n_r % bb == 0 and bb * per_bin <= budget:
             return bb
@@ -104,29 +117,6 @@ def gn_kernel_fits(n_r: int, cq: int, cb: int, mode: str) -> bool:
     """True when :func:`bin_gn_moments_pallas` has a legal VMEM-fitting
     auto bin batch at this shape (else callers use the XLA twin)."""
     return _auto_bin_batch_gn(n_r, cq, cb, mode) > 0
-
-
-def _chol3_inv_rows(m11, m21, m22, m31, m32, m33):
-    """Rows of L^{-1} for the SPD 3x3 M = L L^T, all closed form.
-
-    Inputs/outputs are (BB, cq) scalar planes. M's eigenvalues lie in
-    [2 eps, 2] (disk covariances of unit normals), so every pivot is
-    >= 2 eps and the three rsqrt/divides are f32-safe.
-    """
-    l11 = jnp.sqrt(m11)
-    i11 = 1.0 / l11
-    l21 = m21 * i11
-    l31 = m31 * i11
-    l22 = jnp.sqrt(m22 - l21 * l21)
-    i22 = 1.0 / l22
-    l32 = (m32 - l31 * l21) * i22
-    l33 = jnp.sqrt(jnp.maximum(m33 - l31 * l31 - l32 * l32, 1e-12))
-    i33 = 1.0 / l33
-    u1 = (i11, None, None)
-    u2 = (-l21 * i11 * i22, i22, None)
-    u3 = ((l21 * l32 - l31 * l22) * (i11 * i22 * i33),
-          -l32 * i22 * i33, i33)
-    return u1, u2, u3
 
 
 def _gn_math(p, nm, qvalid, reps_blk, bins_vals, sq_b, G, b_row, alpha,
@@ -140,7 +130,10 @@ def _gn_math(p, nm, qvalid, reps_blk, bins_vals, sq_b, G, b_row, alpha,
     for "plane"); qvalid (BB, cq); reps_blk (BB, 8); bins_vals
     (BB, cb, 12) = [rep-centered bin points (8) | fixed normals (3) | 0];
     sq_b (BB, cb) masked |b|^2; G (8, 8), b_row (1, 8) accumulated
-    similarity (fused_step.prep_similarity). Returns P (BB, 8, 8).
+    similarity (fused_step.prep_similarity). Returns P (BB, 8, 8) for
+    the single-row modes; gicp returns (P, P_z) with P the two data
+    rows' moment and P_z (BB, 8, 8) the z-moment feeding
+    :func:`gicp_const_moment`.
 
     v_layout selects how the GN row tensor v is laid out for the moment
     contraction (identical math, different Mosaic footprint/speed):
@@ -178,29 +171,67 @@ def _gn_math(p, nm, qvalid, reps_blk, bins_vals, sq_b, G, b_row, alpha,
         r = dx * ux + dy * uy + dz * uz
         return (ux, uy, uz, jx, jy, jz, r, ones)
 
+    # rows: [(8 scalar planes, per-row weight factor)] — the factor (a
+    # python scalar or a (BB, cq) plane) multiplies the shared validity/
+    # reference/robust weight w per GN row.
     if mode == "plane":
-        rows = [row_planes(nfx, nfy, nfz)]
+        rows = [(row_planes(nfx, nfy, nfz), 1.0)]
     elif mode == "plane_sym":
         # Rusinkiewicz symmetric objective: constrain along the averaged
         # fixed+moving normal (zero rows self-mask to the one-sided case).
         nmx, nmy, nmz = nm[..., 0], nm[..., 1], nm[..., 2]
-        rows = [row_planes(nfx + nmx, nfy + nmy, nfz + nmz)]
+        rows = [(row_planes(nfx + nmx, nfy + nmy, nfz + nmz), 1.0)]
     else:
-        # GICP: M = 2I - (1 - eps)(nf nf^T + nm nm^T), 3 rows of L^{-1}.
+        # GICP: M = 2I - (1-eps)(nf nf^T + nm nm^T). For unit (or zero)
+        # normals, s = nf + nm and t = nf - nm are orthogonal
+        # (s.t = |nf|^2 - |nm|^2 = 0), which diagonalizes the rank-2
+        # update and gives the EXACT sqrt-free inverse (Woodbury):
+        #
+        #   M^{-1} = I/2 + e/(4 L_s) s s^T + e/(4 L_t) t t^T,
+        #   L_s = 2 - e (1 + c),  L_t = 2 - e (1 - c),  c = nf . nm
+        #
+        # (L_* >= 2 eps — the disk-covariance eigenvalue floor — so the
+        # two divides are f32-safe; verified against np.linalg.inv incl.
+        # parallel / anti-parallel / missing normals in
+        # tests/test_fused_gn.py). The anisotropic weight is therefore
+        # TWO data rows (directions s and t) plus an ISOTROPIC I/2 term.
+        # The I/2 term's three constant-direction rows are NOT built as
+        # rows: per-row plane stacks are the kernel's unit cost
+        # (~0.05-0.08 ms each at the flagship shape, per benchmarks/
+        # profile_gicp_anatomy.py — the same probe that retired the
+        # round-2 closed-form Cholesky, whose ~25-op serial sqrt/divide
+        # chain alone cost +0.13 ms). Their moment sum is linear in the
+        # STACK-FREE z-moment P_z = sum_i w_i z_i z_i^T with
+        # z = [m, d, 1, 0] (built by lane masks + one constant shift
+        # matmul), so the kernel emits P_z as a second output and
+        # :func:`gicp_const_moment` assembles the constant-row block in
+        # plain XLA on the tiny (n_r, 8, 8) tensor outside the kernel.
         nmx, nmy, nmz = nm[..., 0], nm[..., 1], nm[..., 2]
         e = 1.0 - gicp_eps
-        m11 = 2.0 - e * (nfx * nfx + nmx * nmx)
-        m21 = -e * (nfx * nfy + nmx * nmy)
-        m22 = 2.0 - e * (nfy * nfy + nmy * nmy)
-        m31 = -e * (nfx * nfz + nmx * nmz)
-        m32 = -e * (nfy * nfz + nmy * nmz)
-        m33 = 2.0 - e * (nfz * nfz + nmz * nmz)
-        u1, u2, u3 = _chol3_inv_rows(m11, m21, m22, m31, m32, m33)
-        zeros = jnp.zeros_like(mx)
-        rows = [row_planes(u1[0], zeros, zeros),
-                row_planes(u2[0], u2[1], zeros),
-                row_planes(u3[0], u3[1], u3[2])]
+        cth = nfx * nmx + nfy * nmy + nfz * nmz
+        gs = e / (4.0 * (2.0 - e * (1.0 + cth)))
+        gt = e / (4.0 * (2.0 - e * (1.0 - cth)))
+        rows = [(row_planes(nfx + nmx, nfy + nmy, nfz + nmz), gs),
+                (row_planes(nfx - nmx, nfy - nmy, nfz - nmz), gt)]
+        lane = _lane_iota((1, 1, 8), 2)
+        mask03 = (lane < 3).astype(p.dtype)
+        shift03_36 = jnp.logical_and(
+            _lane_iota((8, 8), 1) == _lane_iota((8, 8), 0) + 3,
+            _lane_iota((8, 8), 0) < 3).astype(p.dtype)
+        dfull = (qc - matched[..., :8]) * mask03
+        zrow = (qc * mask03
+                + jax.lax.dot_general(dfull, shift03_36,
+                                      (((2,), (0,)), ((), ())),
+                                      precision=_HI)
+                + (lane == 6).astype(p.dtype))
+        P_z = jax.lax.dot_general(zrow * w[..., None], zrow,
+                                  (((1,), (1,)), ((0,), (0,))),
+                                  precision=_HI)
 
+    def with_pz(P):
+        return (P, P_z) if mode == "gicp" else P
+
+    w_of = [w * wf for _, wf in rows]  # per-row (BB, cq) weights
     if v_layout == "lane":
         # (BB, 8, R*cq): component on sublanes, rows x queries on lanes.
         # NOT built with jnp.stack: an 8-way stack along a new sublane axis
@@ -210,54 +241,61 @@ def _gn_math(p, nm, qvalid, reps_blk, bins_vals, sq_b, G, b_row, alpha,
         # non-concat dimension" at cq=96, bin_batch=16). Broadcast-select +
         # add is pure elementwise VPU work Mosaic can always relayout, and
         # at (BB, 8, R*cq) size it is noise next to the MXU contraction.
-        planes = [jnp.concatenate([r[i] for r in rows], axis=-1)
-                  if len(rows) > 1 else rows[0][i] for i in range(8)]
+        planes = [jnp.concatenate([r[i] for r, _ in rows], axis=-1)
+                  if len(rows) > 1 else rows[0][0][i] for i in range(8)]
         comp = _lane_iota((1, 8, 1), 1)
         v = planes[0][:, None, :] * (comp == 0).astype(p.dtype)
         for i in range(1, 8):
             v = v + planes[i][:, None, :] * (comp == i).astype(p.dtype)
-        wr = (jnp.concatenate([w] * len(rows), axis=-1)
-              if len(rows) > 1 else w)
-        return jax.lax.dot_general(v * wr[:, None, :], v,
-                                   (((2,), (2,)), ((0,), (0,))),
-                                   precision=_HI)
+        wr = (jnp.concatenate(w_of, axis=-1)
+              if len(rows) > 1 else w_of[0])
+        return with_pz(jax.lax.dot_general(v * wr[:, None, :], v,
+                                           (((2,), (2,)), ((0,), (0,))),
+                                           precision=_HI))
     if v_layout == "rowcat":
         # GN rows concatenated along the query (sublane) axis: v is
         # (BB, R*cq, 8) and the whole moment reduction is ONE dot_general
         # with contraction depth R*cq, instead of "sublane"'s R sequential
-        # accumulate steps whose intermediates the Mosaic stack allocator
-        # keeps live simultaneously (the GICP bb=8 VMEM ceiling —
-        # VERDICT r2). cq is a multiple of 8, so the sublane concat is
-        # always layout-legal. Single-row modes reduce to "sublane"
-        # exactly.
-        v = (jnp.concatenate([jnp.stack(r, axis=-1) for r in rows], axis=1)
-             if len(rows) > 1 else jnp.stack(rows[0], axis=-1))
-        wr = (jnp.concatenate([w] * len(rows), axis=-1)
-              if len(rows) > 1 else w)
-        return jax.lax.dot_general(v * wr[..., None], v,
-                                   (((1,), (1,)), ((0,), (0,))),
-                                   precision=_HI)
+        # accumulate steps. cq is a multiple of 8, so the sublane concat
+        # is always layout-legal. Single-row modes reduce to "sublane"
+        # exactly. (Measured a wash vs sublane at production shapes —
+        # kept for A/B; benchmarks/profile_gn_rowcat.py.)
+        v = (jnp.concatenate([jnp.stack(r, axis=-1) for r, _ in rows],
+                             axis=1)
+             if len(rows) > 1 else jnp.stack(rows[0][0], axis=-1))
+        wr = (jnp.concatenate(w_of, axis=-1)
+              if len(rows) > 1 else w_of[0])
+        return with_pz(jax.lax.dot_general(v * wr[..., None], v,
+                                           (((1,), (1,)), ((0,), (0,))),
+                                           precision=_HI))
     assert v_layout == "sublane", v_layout
     P = jnp.zeros(p.shape[:1] + (8, 8), p.dtype)
-    for r in rows:
+    for (r, _), wr in zip(rows, w_of):
         v = jnp.stack(r, axis=-1)  # (BB, cq, 8)
-        P = P + jax.lax.dot_general(v * w[..., None], v,
+        P = P + jax.lax.dot_general(v * wr[..., None], v,
                                     (((1,), (1,)), ((0,), (0,))),
                                     precision=_HI)
-    return P
+    return with_pz(P)
 
 
 def _make_gn_kernel(mode: str, weighted: bool, robust: str, with_nm: bool,
                     v_layout: str = "sublane"):
+    two_out = mode == "gicp"
+
     if with_nm:
         def kernel(p_ref, nm_ref, qvalid_ref, reps_ref, vals_ref, sq_b_ref,
-                   g_ref, b_ref, scal_ref, out_ref):
-            out_ref[:] = _gn_math(
+                   g_ref, b_ref, scal_ref, out_ref, *pz_ref):
+            out = _gn_math(
                 p_ref[:], nm_ref[:], qvalid_ref[:], reps_ref[:], vals_ref[:],
                 sq_b_ref[:], g_ref[:], b_ref[:], scal_ref[0, 0], mode,
                 weighted, robust, scal_ref[0, 1], scal_ref[0, 2],
                 v_layout=v_layout, in_kernel=True)
+            if two_out:
+                out_ref[:], pz_ref[0][:] = out
+            else:
+                out_ref[:] = out
     else:
+        assert not two_out, mode  # gicp always passes normals
         def kernel(p_ref, qvalid_ref, reps_ref, vals_ref, sq_b_ref,
                    g_ref, b_ref, scal_ref, out_ref):
             out_ref[:] = _gn_math(
@@ -301,7 +339,8 @@ def bin_gn_moments_pallas(mg: jnp.ndarray, nm: jnp.ndarray | None,
       bin_batch: bins per grid step (0 = VMEM-aware auto).
     Returns:
       (n_r, 8, 8) per-bin GN moment matrices P_b in the rep-centered
-      frame (see module docstring for the lane layout).
+      frame; gicp returns the pair (P_b, P_z_b) — callers add
+      ``gicp_const_moment(P_z)`` to P before the global congruence.
     """
     assert mode in GN_MODES, mode
     n_r, cq, d = mg.shape
@@ -351,22 +390,23 @@ def bin_gn_moments_pallas(mg: jnp.ndarray, nm: jnp.ndarray | None,
     ]
     inputs += [qvalid, reps, bins_vals, sq_b_masked, G, b_row, scal_arr]
 
-    rows_per_pair = 3 if mode == "gicp" else 1
+    out_spec = pl.BlockSpec((bin_batch, d, d), i3, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n_r, d, d), jnp.float32)
+    rows_per_pair = 3 if mode == "gicp" else 1  # 2 data rows + z-moment
     return pl.pallas_call(
         _make_gn_kernel(mode, weighted, robust, with_nm, v_layout),
         compiler_params=_kernel_compiler_params(vmem_limit_bytes),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bin_batch, d, d), i3,
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_r, d, d), jnp.float32),
+        out_specs=((out_spec, out_spec) if mode == "gicp" else out_spec),
+        out_shape=((out_shape, out_shape) if mode == "gicp" else out_shape),
         cost_estimate=pl.CostEstimate(
             flops=(2 * n_r * cq * cb * d * 2
                    + 2 * n_r * cq * d * d * (1 + 2 * rows_per_pair)),
             bytes_accessed=4 * n_r * (cq * d + cb * dv + cb + cq + d * d),
-            # 3 sqrt per pair for the GICP Cholesky; 1 rsqrt per pair for
-            # Huber's IRLS factor.
-            transcendentals=n_r * cq * (3 if mode == "gicp" else 0),
+            # GICP's Woodbury weights cost 2 divides per pair (no sqrt);
+            # Huber's IRLS factor is 1 rsqrt per pair.
+            transcendentals=n_r * cq if robust == "huber" else 0,
         ),
         interpret=interpret,
     )(*inputs)
@@ -378,13 +418,68 @@ def bin_gn_moments_ref(mg: jnp.ndarray, nm: jnp.ndarray | None,
                        G: jnp.ndarray, b_row: jnp.ndarray, alpha, *,
                        mode: str, weighted: bool, robust: str = "none",
                        robust_delta=0.0, gicp_eps=0.0,
-                       v_layout: str = "sublane") -> jnp.ndarray:
+                       v_layout: str = "sublane"):
     """Plain-XLA twin of :func:`bin_gn_moments_pallas` — the production
-    path on CPU backends and the interpret-parity golden."""
+    path on CPU backends and the interpret-parity golden (same return
+    convention: gicp yields the (P, P_z) pair)."""
     return _gn_math(mg, nm, qvalid, reps, bins_vals, sq_b_masked, G, b_row,
                     jnp.asarray(alpha, mg.dtype), mode, weighted, robust,
                     jnp.asarray(robust_delta, mg.dtype),
                     jnp.asarray(gicp_eps, mg.dtype), v_layout=v_layout)
+
+
+def gicp_const_moment(P_z: jnp.ndarray) -> jnp.ndarray:
+    """GICP's isotropic-I/2 moment block from the kernel's z-moment.
+
+    The three constant-direction GN rows v_k = B e_k with
+    B = [I3; skew(m); d^T; 1^T] (8 x 3) sum to sum_i (w_i/2) B_i B_i^T —
+    every entry of B B^T is at most quadratic in (m, d), so the sum is a
+    LINEAR function of P_z = sum_i w_i z_i z_i^T, z = [m, d, 1, 0]. This
+    expands it on the tiny (n_b, 8, 8) tensors in plain XLA, keeping the
+    kernel free of per-row plane stacks (the kernel's unit cost; see
+    module docstring). Block identities used (S := skew(m)):
+    S S^T = |m|^2 I - m m^T;  S d = m x d;  S 1 = m x 1.
+    """
+    Mm = P_z[:, 0:3, 0:3]
+    Md = P_z[:, 3:6, 3:6]
+    Mmd = P_z[:, 0:3, 3:6]
+    sw = P_z[:, 6, 6]
+    sm = P_z[:, 0:3, 6]
+    sd = P_z[:, 3:6, 6]
+    dt = P_z.dtype
+    eye3 = jnp.eye(3, dtype=dt)
+
+    def skew(v):
+        z = jnp.zeros_like(v[:, 0])
+        return jnp.stack([
+            jnp.stack([z, -v[:, 2], v[:, 1]], -1),
+            jnp.stack([v[:, 2], z, -v[:, 0]], -1),
+            jnp.stack([-v[:, 1], v[:, 0], z], -1)], -2)
+
+    S_sm = skew(sm)
+    cross_md = jnp.stack([Mmd[:, 1, 2] - Mmd[:, 2, 1],
+                          Mmd[:, 2, 0] - Mmd[:, 0, 2],
+                          Mmd[:, 0, 1] - Mmd[:, 1, 0]], -1)  # sum w m x d
+    m_x_1 = jnp.stack([sm[:, 1] - sm[:, 2],
+                       sm[:, 2] - sm[:, 0],
+                       sm[:, 0] - sm[:, 1]], -1)             # sum w m x 1
+    tr_Mm = jnp.trace(Mm, axis1=1, axis2=2)
+    tr_Md = jnp.trace(Md, axis1=1, axis2=2)
+    ones3 = jnp.ones((3,), dt)
+
+    top = jnp.concatenate([
+        sw[:, None, None] * eye3, -S_sm, sd[:, :, None],
+        sw[:, None, None] * ones3[:, None]], axis=2)          # (n_b, 3, 8)
+    mid = jnp.concatenate([
+        S_sm, tr_Mm[:, None, None] * eye3 - Mm, cross_md[:, :, None],
+        m_x_1[:, :, None]], axis=2)                           # (n_b, 3, 8)
+    r6 = jnp.concatenate([
+        sd, cross_md, tr_Md[:, None],
+        jnp.sum(sd, axis=1, keepdims=True)], axis=1)[:, None] # (n_b, 1, 8)
+    r7 = jnp.concatenate([
+        sw[:, None] * ones3, m_x_1, jnp.sum(sd, axis=1, keepdims=True),
+        3.0 * sw[:, None]], axis=1)[:, None]                  # (n_b, 1, 8)
+    return 0.5 * jnp.concatenate([top, mid, r6, r7], axis=1)
 
 
 # ---------------------------------------------------------------------------

@@ -319,6 +319,7 @@ def rbc_gn_system(index: RBCIndex, moving8: jnp.ndarray,
     from icp_tpu.kernels.fused_gn import (
         bin_gn_moments_pallas,
         bin_gn_moments_ref,
+        gicp_const_moment,
         gn_kernel_fits,
         gn_v_total,
     )
@@ -351,6 +352,12 @@ def rbc_gn_system(index: RBCIndex, moving8: jnp.ndarray,
             index.sq_b_masked, G, b_row, alpha, mode=mode,
             weighted=weighted, robust=robust, robust_delta=robust_delta,
             gicp_eps=gicp_eps, v_layout=v_layout)
+    if mode == "gicp":
+        # Woodbury split: the kernel emits the two data rows' moment and
+        # the z-moment; the isotropic I/2 block assembles here (tiny XLA,
+        # linear in P_z — see kernels.fused_gn.gicp_const_moment).
+        P, P_z = P
+        P = P + gicp_const_moment(P_z)
     return gn_v_total(P, index.reps, index.gn_w)
 
 

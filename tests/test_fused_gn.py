@@ -112,19 +112,25 @@ def test_gn_v_layouts_agree(rng, mode):
             idx.sq_b_masked, G, b_row, jnp.float32(ALPHA))
     kw = dict(mode=mode, weighted=True, gicp_eps=1e-3)
     P_sub = bin_gn_moments_ref(*args, v_layout="sublane", **kw)
+    if mode == "gicp":
+        P_sub = jnp.stack(P_sub)  # (2, n_r, 8, 8): data rows + z-moment
     tol = 1e-4 * max(float(jnp.max(jnp.abs(P_sub))), 1.0)
     for layout in ("lane", "rowcat"):
         P_alt = bin_gn_moments_ref(*args, v_layout=layout, **kw)
+        if mode == "gicp":
+            P_alt = jnp.stack(P_alt)
         np.testing.assert_allclose(np.asarray(P_alt), np.asarray(P_sub),
                                    atol=tol, err_msg=layout)
 
 
-def test_gicp_cholesky_rows_reproduce_inverse(rng):
-    """sum_k u_k u_k^T == inv(M) for the closed-form L^{-1} rows — the
-    identity that lets GICP's 3x3 Mahalanobis weight run as three
-    plane-style rank-1 rows (see kernels/fused_gn.py docstring)."""
-    from icp_tpu.kernels.fused_gn import _chol3_inv_rows
-
+def test_gicp_woodbury_rows_reproduce_inverse(rng):
+    """I/2 + e/(4 L_s) s s^T + e/(4 L_t) t t^T == inv(M) — the exact
+    sqrt-free identity that lets GICP's 3x3 Mahalanobis weight run as
+    three constant-direction rows (g = 1/2) plus two data rows (see
+    kernels/fused_gn.py docstring). Validity domain: unit or zero
+    normals (s and t are then orthogonal eigen-directions of the rank-2
+    update), including the parallel / anti-parallel extremes where the
+    smallest eigenvalue hits the 2 eps floor."""
     eps = 1e-3
     nf = rng.normal(size=(64, 3)).astype(np.float32)
     nf /= np.linalg.norm(nf, axis=1, keepdims=True)
@@ -133,24 +139,48 @@ def test_gicp_cholesky_rows_reproduce_inverse(rng):
     nm[:8] = nf[:8]        # parallel normals (the common aligned case)
     nm[8:16] = -nf[8:16]   # anti-parallel
     nf[16:24] = 0.0        # missing normals -> isotropic
+    nm[20:28] = 0.0        # (overlapping: both missing on 20:24)
     e = 1.0 - eps
     M = (2.0 * np.eye(3, dtype=np.float32)
          - e * (nf[:, :, None] * nf[:, None, :]
                 + nm[:, :, None] * nm[:, None, :]))
-    u1, u2, u3 = _chol3_inv_rows(
-        jnp.asarray(M[:, 0, 0]), jnp.asarray(M[:, 1, 0]),
-        jnp.asarray(M[:, 1, 1]), jnp.asarray(M[:, 2, 0]),
-        jnp.asarray(M[:, 2, 1]), jnp.asarray(M[:, 2, 2]))
-    z = np.zeros(64, np.float32)
-    U = np.stack([
-        np.stack([np.asarray(u1[0]), z, z], -1),
-        np.stack([np.asarray(u2[0]), np.asarray(u2[1]), z], -1),
-        np.stack([np.asarray(u3[0]), np.asarray(u3[1]),
-                  np.asarray(u3[2])], -1),
-    ], axis=1)  # (64, 3, 3) rows of L^{-1}
-    got = np.einsum("nki,nkj->nij", U, U)
+    c = np.sum(nf * nm, axis=1)
+    s, t = nf + nm, nf - nm
+    g_s = (e / (4.0 * (2.0 - e * (1.0 + c))))[:, None, None]
+    g_t = (e / (4.0 * (2.0 - e * (1.0 - c))))[:, None, None]
+    got = (0.5 * np.eye(3, dtype=np.float32)
+           + g_s * s[:, :, None] * s[:, None, :]
+           + g_t * t[:, :, None] * t[:, None, :])
     want = np.linalg.inv(M)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_gicp_const_moment_matches_row_sum(rng):
+    """gicp_const_moment(P_z) == the explicit constant-direction row sum
+    sum_i (w_i/2) B_i B_i^T — the linearity that lets GICP's isotropic
+    I/2 term ride a single stack-free z-moment through the kernel."""
+    from icp_tpu.kernels.fused_gn import gicp_const_moment
+
+    n_b, cq = 5, 16
+    m = rng.uniform(-40, 40, (n_b, cq, 3)).astype(np.float32)
+    d = rng.uniform(-3, 3, (n_b, cq, 3)).astype(np.float32)
+    w = rng.uniform(0.0, 1.0, (n_b, cq)).astype(np.float32)
+
+    want = np.zeros((n_b, 8, 8), np.float32)
+    for b in range(n_b):
+        for i in range(cq):
+            S = np.array([[0, -m[b, i, 2], m[b, i, 1]],
+                          [m[b, i, 2], 0, -m[b, i, 0]],
+                          [-m[b, i, 1], m[b, i, 0], 0]], np.float32)
+            B = np.concatenate([np.eye(3, dtype=np.float32), S,
+                                d[b, i][None], np.ones((1, 3), np.float32)])
+            want[b] += 0.5 * w[b, i] * (B @ B.T)
+
+    z = np.concatenate([m, d, np.ones((n_b, cq, 1), np.float32),
+                        np.zeros((n_b, cq, 1), np.float32)], axis=-1)
+    P_z = jnp.einsum("bqi,bq,bqj->bij", z, w, z)
+    got = np.asarray(gicp_const_moment(P_z))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
 
 
 def test_gn_translation_tensor_matches_direct(rng):

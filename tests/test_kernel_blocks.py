@@ -51,12 +51,13 @@ def test_moments_bin_batch_fits_budget_at_1024_bins():
 def test_gn_bin_batch_measured_preferences():
     # plane rides the raised VMEM limit to bb=32 (17.8 MB stack — the
     # exact shape the default 16 MB Mosaic limit rejected in round 2);
-    # gicp's measured optimum stays 8.
+    # gicp's Woodbury z-moment kernel measures fastest at 16
+    # (0.449 vs 0.472 at 32 / 0.574 at 8 ms/iteration).
     from icp_tpu.kernels.fused_gn import _auto_bin_batch_gn
 
     assert _auto_bin_batch_gn(256, 96, 128, "plane") == 32
     assert _auto_bin_batch_gn(256, 96, 128, "plane_sym") == 32
-    assert _auto_bin_batch_gn(256, 96, 128, "gicp") == 8
+    assert _auto_bin_batch_gn(256, 96, 128, "gicp") == 16
 
 
 def test_search_bin_batch_shrinks_at_gicp_payload():
