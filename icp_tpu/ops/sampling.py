@@ -8,6 +8,7 @@ whatever consumes them.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # Kinect VGA geometry hard-coded throughout the reference
@@ -34,9 +35,24 @@ def get_landmarks(cloud8: jnp.ndarray) -> jnp.ndarray:
       (16384, 8) landmarks in row-major 128x128 grid order.
     """
     img = cloud8.reshape(IMAGE_HEIGHT, IMAGE_WIDTH, 8)
-    # Static STRIDED SLICE, not an advanced-index gather: rows 49+3r,
-    # cols 65+4l. The index-array form lowers as a general 16k-row gather
-    # (~92 us on a v5e); the slice is a strided DMA (~a few us).
+    if jax.default_backend() == "tpu":
+        # Row stride rides a major-dim strided slice (cheap), but the
+        # column stride-4 inside the (640, 8)-tiled minor dims lowers as
+        # 16384 scattered 32 B copies — measured 103 us on a v5e. An
+        # exact one-hot MXU contraction over the column axis does the
+        # same selection at 24 us (bit-identical: one-hot rows are exact
+        # in every precision; A/B + equality in /tmp-probe recorded in
+        # docs/PERF_TABLE.md). Reference getLMs: 13 us on its GPU.
+        cols = jnp.arange(IMAGE_WIDTH, dtype=jnp.int32)
+        sel = (cols[:, None]
+               == 65 + 4 * jnp.arange(LM_GRID, dtype=jnp.int32)[None, :]
+               ).astype(cloud8.dtype)  # (640, 128) compile-time constant
+        x = img[49:49 + 3 * LM_GRID:3]  # (128, 640, 8)
+        y = jax.lax.dot_general(x, sel, (((1,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST)
+        return jnp.transpose(y, (0, 2, 1)).reshape(LM_GRID * LM_GRID, 8)
+    # CPU path: static STRIDED SLICE, not an advanced-index gather — the
+    # index-array form lowers as a general 16k-row gather.
     lms = img[49:49 + 3 * LM_GRID:3, 65:65 + 4 * LM_GRID:4]  # (128, 128, 8)
     return lms.reshape(LM_GRID * LM_GRID, 8)
 
