@@ -310,8 +310,8 @@ def rbc_gn_system(index: RBCIndex, moving8: jnp.ndarray,
       mnormals_rot: (m, 3) moving normals rotated into the fixed frame
         (required for plane_sym/gicp; grouped alongside the queries).
       v_layout: GN row-tensor layout for the moment contraction
-        ("sublane" default — the only layout that compiles at production
-        shapes; "lane" is experimental, see kernels.fused_gn._gn_math).
+        ("sublane" default; "rowcat" measured a wash and "lane" is
+        experimental — see kernels.fused_gn._gn_math).
     Returns:
       V (8, 8) global GN moment matrix — feed
       kernels.fused_gn.gn_system_from_V then icp.plane.solve_plane_system.
