@@ -140,6 +140,34 @@ def main() -> None:
                 mnormals_rot=None if mode == "plane" else nr))
             return jax.block_until_ready(f(moving, mn_rot))
 
+        def mindist(use_pallas):
+            # Argmin tie flips in the rep assignment can re-bin a few
+            # queries between the two paths, moving individual d2 slots —
+            # so compare the quantities production consumes: the
+            # median-derived adaptive scale, the finite-slot count, and
+            # the (order-free) sorted d2 tail.
+            from icp_tpu.ops.moments import adaptive_robust_delta
+            from icp_tpu.rbc.grouping import group_rows_by_bin
+            from icp_tpu.rbc.search import rbc_min_dists_grouped
+
+            def f(mv):
+                rid, G, b_row = rbc_point_assign(
+                    index_pt, mv, st.q, st.t, st.s, params.alpha,
+                    use_pallas=use_pallas)
+                gl = group_rows_by_bin(rid, n_r, cq, (mv,))
+                d2 = rbc_min_dists_grouped(
+                    index_pt, gl.grouped[0], gl.valid.astype(mv.dtype),
+                    G, b_row, params.alpha, use_pallas=use_pallas)
+                delta = adaptive_robust_delta(
+                    d2.reshape(-1), jnp.isfinite(d2).reshape(-1), "tukey")
+                return d2, delta
+            d, delta = jax.block_until_ready(jax.jit(f)(moving))
+            d = np.asarray(d)
+            fin = np.isfinite(d)
+            dsort = np.sort(np.where(fin, d, 0.0).reshape(-1))
+            return (float(delta), float(fin.sum()),
+                    dsort[:: max(1, dsort.size // 256)])
+
         def search(with_normals, use_pallas):
             f = jax.jit(lambda mv: rbc_search_grouped(
                 index_gn if with_normals else index_pt, mv, params.alpha,
@@ -183,6 +211,9 @@ def main() -> None:
                                        True),
                                     gn(row.mode, row.weighted, row.robust,
                                        False))
+            elif row.kind == "mindist":
+                def run_row(row=row):
+                    return _rel_err(mindist(True), mindist(False))
             elif row.kind == "binsearch":
                 def run_row(row=row):
                     return _rel_err(search(row.with_normals, True),

@@ -133,9 +133,7 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
     # so they take the grouped-search path below.
     if (config.fused_point
             and config.correspondence is Correspondence.RBC
-            and config.objective is Objective.POINT
-            and not (config.robust_adaptive
-                     and config.robust.value != "none")):
+            and config.objective is Objective.POINT):
         assert isinstance(target, RBCIndex)
         S11, mean_f, mean_m, _sum_w = rbc_point_moments(
             target, moving8, state.q, state.t, state.s,
@@ -143,7 +141,8 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
             weighted=config.weighting is Weighting.WEIGHTED,
             use_pallas=use_pallas,
             robust=config.robust.value,
-            robust_delta=params.robust_delta)
+            robust_delta=params.robust_delta,
+            robust_adaptive=config.robust_adaptive)
         qk, tk, sk = solve_step_transform(
             S11, mean_f, mean_m, mode=config.rotation.value,
             estimate_scale=config.estimate_scale)
@@ -155,12 +154,11 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
     # Fast path for the normal-consuming objectives: same two-pass fused
     # pipeline as POINT, with the whole Gauss-Newton system built in-kernel
     # as per-bin 8x8 moments (kernels/fused_gn.py). Adaptive robust scale
-    # needs per-pair residuals (median), so it takes the grouped path.
+    # (which needs the per-pair residual median BEFORE the weighting)
+    # rides a d2-only extra pass (rbc_min_dists_grouped).
     if (config.fused_gn
             and config.correspondence is Correspondence.RBC
-            and config.objective in (Objective.PLANE, Objective.GICP)
-            and not (config.robust_adaptive
-                     and config.robust.value != "none")):
+            and config.objective in (Objective.PLANE, Objective.GICP)):
         from icp_tpu.icp.plane import (
             CHARACTERISTIC_LENGTH_MM,
             solve_plane_system,
@@ -188,6 +186,7 @@ def icp_step(state: ICPState, moving8: jnp.ndarray,
             weighted=config.weighting is Weighting.WEIGHTED,
             use_pallas=use_pallas, robust=config.robust.value,
             robust_delta=params.robust_delta,
+            robust_adaptive=config.robust_adaptive,
             gicp_eps=params.gicp_epsilon, mnormals_rot=mnormals_rot)
         H, b = gn_system_from_V(V, CHARACTERISTIC_LENGTH_MM)
         qk, tk = solve_plane_system(H, b)

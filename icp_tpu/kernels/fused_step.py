@@ -348,20 +348,15 @@ def _shift_0to3_into_4to7(dtype):
     return jnp.logical_and(c == r + 4, r < 3).astype(dtype)
 
 
-def _search_core(p, qvalid, reps_blk, bins_c, sq_b, G, b_row, alpha,
-                 weighted: bool, robust: str, delta,
-                 in_kernel: bool = False):
-    """Shared in-VMEM search front of the fused kernels.
-
-    Transform + per-bin rep centering, MXU bin scores, argmin, one-hot
-    winner selector, validity mask, and the composed residual weight
-    (reference icpComputeReduceWeights x optional robust IRLS factor).
+def _score_core(p, qvalid, reps_blk, bins_c, sq_b, G, b_row, alpha,
+                in_kernel: bool = False):
+    """Transform + per-bin rep centering + MXU bin scores + validity.
 
     Shapes: p (BB, cq, 8) RAW rows, qvalid (BB, cq), reps_blk (BB, 8),
     bins_c (BB, cb, 8) rep-centered bin points, sq_b (BB, cb) masked
     |b|^2 (+inf invalid), G (8, 8), b_row (1, 8).
     Returns (qc (BB, cq, 8) transformed rep-centered queries,
-    one_hot (BB, cq, cb), w (BB, cq) validity-folded weights).
+    scores (BB, cq, cb), sq_q (BB, cq), valid (BB, cq) f32 mask).
     """
     lane = _lane_iota((1, 1, 8), 2)
     # qc = (p @ G + b_row) - rep  (homogeneous lanes become exactly 0).
@@ -379,6 +374,31 @@ def _search_core(p, qvalid, reps_blk, bins_c, sq_b, G, b_row, alpha,
     cross = dot3(qg_w, bins_c, (((2,), (2,)), ((0,), (0,))),
                  in_kernel=in_kernel)
     scores = sq_b[:, None, :] - 2.0 * cross
+
+    # Validity: slot occupied AND original point non-zero (the reference
+    # defers the invalid-point discard downstream of its samplers,
+    # kernels/icp_kernels.cl:50-51 — this is that discard) AND bin
+    # non-empty (checked on the min score downstream: all-inf scores).
+    mask03 = (lane < 3).astype(p.dtype)
+    vo = (jnp.sum(jnp.abs(p) * mask03, axis=-1) > 0).astype(p.dtype)
+    return qc, scores, sq_q, qvalid * vo
+
+
+def _search_core(p, qvalid, reps_blk, bins_c, sq_b, G, b_row, alpha,
+                 weighted: bool, robust: str, delta,
+                 in_kernel: bool = False):
+    """Shared in-VMEM search front of the fused kernels.
+
+    :func:`_score_core` + argmin, one-hot winner selector, and the
+    composed residual weight (reference icpComputeReduceWeights x
+    optional robust IRLS factor).
+
+    Returns (qc (BB, cq, 8) transformed rep-centered queries,
+    one_hot (BB, cq, cb), w (BB, cq) validity-folded weights).
+    """
+    qc, scores, sq_q, valid0 = _score_core(p, qvalid, reps_blk, bins_c,
+                                           sq_b, G, b_row, alpha,
+                                           in_kernel=in_kernel)
     best_slot = jnp.argmin(scores, axis=-1)  # (BB, cq)
     best_score = jnp.min(scores, axis=-1)
 
@@ -386,13 +406,7 @@ def _search_core(p, qvalid, reps_blk, bins_c, sq_b, G, b_row, alpha,
     slot_ids = _lane_iota(best_slot.shape + (cb,), 2)
     one_hot = (slot_ids == best_slot[..., None]).astype(p.dtype)
 
-    # Validity: slot occupied AND original point non-zero (the reference
-    # defers the invalid-point discard downstream of its samplers,
-    # kernels/icp_kernels.cl:50-51 — this is that discard) AND bin
-    # non-empty (all-inf scores).
-    mask03 = (lane < 3).astype(p.dtype)
-    vo = (jnp.sum(jnp.abs(p) * mask03, axis=-1) > 0).astype(p.dtype)
-    valid = qvalid * vo * jnp.isfinite(best_score).astype(p.dtype)
+    valid = valid0 * jnp.isfinite(best_score).astype(p.dtype)
     w = valid
     if weighted or robust != "none":
         # +inf on empty bins flows through every factor below as a clean 0
@@ -539,6 +553,115 @@ def bin_point_moments_ref(mg: jnp.ndarray, qvalid: jnp.ndarray,
     return _moment_math(mg, qvalid, reps, bins_c, sq_b_masked, G, b_row,
                         alpha, weighted, robust,
                         jnp.asarray(robust_delta, mg.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2b: per-bin nearest-neighbor distances only (adaptive robust scale)
+# ---------------------------------------------------------------------------
+
+
+def _min_dist_math(p, qvalid, reps_blk, bins_c, sq_b, G, b_row, alpha,
+                   in_kernel: bool = False):
+    """Shared kernel/ref body: blended squared NN distance per query slot,
+    +inf on invalid slots (unoccupied, zero-geometry original, empty bin).
+    No argmin, no one-hot, no matched gather — just the score matmul and
+    a min, so this pass costs roughly half the moment kernel."""
+    _qc, scores, sq_q, valid0 = _score_core(p, qvalid, reps_blk, bins_c,
+                                            sq_b, G, b_row, alpha,
+                                            in_kernel=in_kernel)
+    best_score = jnp.min(scores, axis=-1)
+    d2 = jnp.maximum(best_score + sq_q, 0.0)
+    return jnp.where(jnp.logical_and(valid0 > 0,
+                                     jnp.isfinite(best_score)),
+                     d2, jnp.inf)
+
+
+def _make_min_dist_kernel():
+    def kernel(p_ref, qvalid_ref, reps_ref, bins_ref, sq_b_ref, g_ref,
+               b_ref, scal_ref, out_ref):
+        out_ref[:] = _min_dist_math(
+            p_ref[:], qvalid_ref[:], reps_ref[:], bins_ref[:], sq_b_ref[:],
+            g_ref[:], b_ref[:], scal_ref[0, 0], in_kernel=True)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("bin_batch", "interpret",
+                                             "vmem_limit_bytes"))
+def bin_min_dists_pallas(mg: jnp.ndarray, qvalid: jnp.ndarray,
+                         reps: jnp.ndarray, bins_c: jnp.ndarray,
+                         sq_b_masked: jnp.ndarray, G: jnp.ndarray,
+                         b_row: jnp.ndarray, alpha, *, bin_batch: int = 0,
+                         vmem_limit_bytes: int = 0,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Fused per-bin search distances — the adaptive-robust first pass.
+
+    The adaptive M-estimator scale needs the per-pair residual median
+    BEFORE the moment kernel can weight pairs, and the moment kernels
+    never materialize d2 — this kernel computes ONLY d2 (score matmul +
+    min; no argmin / one-hot / matched gather / moment contractions), so
+    robust_adaptive configs ride the same two-pass fused pipeline as
+    everything else instead of the grouped-search path. Arguments mirror
+    :func:`bin_point_moments_pallas`; returns (n_r, cq) blended squared
+    NN distances, +inf on invalid slots (feed
+    ops.moments.adaptive_robust_delta with mask = isfinite).
+    """
+    n_r, cq, d = mg.shape
+    cb = bins_c.shape[1]
+    if bin_batch == 0:
+        bin_batch = _auto_bin_batch(n_r, cq, cb)
+        if bin_batch == 0:
+            raise ValueError(
+                f"no legal VMEM-fitting bin batch at n_r={n_r}, cq={cq}, "
+                f"cb={cb}; gate on moments_kernel_fits() and use "
+                "bin_min_dists_ref instead")
+    bin_batch = min(bin_batch, n_r)
+    assert n_r % bin_batch == 0, (n_r, bin_batch)
+    grid = (n_r // bin_batch,)
+    scal_arr = jnp.asarray(alpha, mg.dtype).reshape(1, 1)
+
+    def i3(i):
+        return (i, 0, 0)
+
+    def i2(i):
+        return (i, 0)
+
+    def full2(i):
+        return (0, 0)
+
+    return pl.pallas_call(
+        _make_min_dist_kernel(),
+        compiler_params=_kernel_compiler_params(vmem_limit_bytes),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bin_batch, cq, d), i3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bin_batch, cq), i2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bin_batch, d), i2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bin_batch, cb, d), i3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bin_batch, cb), i2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), full2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bin_batch, cq), i2,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_r, cq), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_r * cq * cb * d * 2,
+            bytes_accessed=4 * n_r * (cq * d + cb * d + cb + 2 * cq),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(mg, qvalid, reps, bins_c, sq_b_masked, G, b_row, scal_arr)
+
+
+def bin_min_dists_ref(mg: jnp.ndarray, qvalid: jnp.ndarray,
+                      reps: jnp.ndarray, bins_c: jnp.ndarray,
+                      sq_b_masked: jnp.ndarray, G: jnp.ndarray,
+                      b_row: jnp.ndarray, alpha) -> jnp.ndarray:
+    """Plain-XLA twin of :func:`bin_min_dists_pallas`."""
+    return _min_dist_math(mg, qvalid, reps, bins_c, sq_b_masked, G, b_row,
+                          jnp.asarray(alpha, mg.dtype))
 
 
 # ---------------------------------------------------------------------------

@@ -244,11 +244,44 @@ def rbc_point_moments_grouped(index: RBCIndex, mg: jnp.ndarray,
     return point_moments_from_P(P, index.reps, c, index.moment_w)
 
 
+def rbc_min_dists_grouped(index: RBCIndex, mg: jnp.ndarray,
+                          qvalid: jnp.ndarray, G: jnp.ndarray,
+                          b_row: jnp.ndarray, alpha, *, use_pallas: bool,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Blended squared NN distance per grouped query slot (+inf invalid) —
+    the adaptive-robust first pass (kernels.fused_step.bin_min_dists_*).
+    Feed ops.moments.adaptive_robust_delta with mask = isfinite."""
+    from icp_tpu.kernels.fused_step import (
+        bin_min_dists_pallas,
+        bin_min_dists_ref,
+        moments_kernel_fits,
+    )
+
+    if use_pallas:
+        use_pallas = moments_kernel_fits(
+            mg.shape[0], mg.shape[1], index.bins_centered.shape[1])
+    if use_pallas:
+        return bin_min_dists_pallas(
+            mg, qvalid, index.reps, index.bins_centered, index.sq_b_masked,
+            G, b_row, alpha, interpret=interpret)
+    return bin_min_dists_ref(
+        mg, qvalid, index.reps, index.bins_centered, index.sq_b_masked,
+        G, b_row, alpha)
+
+
+def _adaptive_delta_grouped(d2: jnp.ndarray, robust: str):
+    from icp_tpu.ops.moments import adaptive_robust_delta
+
+    return adaptive_robust_delta(d2.reshape(-1),
+                                 jnp.isfinite(d2).reshape(-1), robust)
+
+
 def rbc_point_moments(index: RBCIndex, moving8: jnp.ndarray,
                       q: jnp.ndarray, t: jnp.ndarray, s: jnp.ndarray,
                       alpha, c, query_capacity: int, *, weighted: bool,
                       use_pallas: bool, robust: str = "none",
-                      robust_delta=0.0, interpret: bool = False):
+                      robust_delta=0.0, robust_adaptive: bool = False,
+                      interpret: bool = False):
     """FULLY-fused POINT-objective iteration front half: transform + rep
     assignment + grouping + per-bin search + weighting + moments, with
     only the grouping sort/gather in XLA and everything else in two Pallas
@@ -266,6 +299,9 @@ def rbc_point_moments(index: RBCIndex, moving8: jnp.ndarray,
       use_pallas: route through the TPU kernels (else the XLA twins).
       robust, robust_delta: optional robust M-estimator factor on the pair
         weights (runtime.config.RobustKernel), applied in-kernel.
+      robust_adaptive: derive the robust scale per call from the residual
+        median via the d2-only first pass (:func:`rbc_min_dists_grouped`),
+        overriding robust_delta.
     Returns:
       (S11 (11,) in the icpSijProducts layout (c applied),
        mean_f (3,), mean_m (3,), sum_w scalar).
@@ -277,6 +313,11 @@ def rbc_point_moments(index: RBCIndex, moving8: jnp.ndarray,
     glayout = group_rows_by_bin(rid, n_r, query_capacity, (moving8,))
     (mg,) = glayout.grouped
     qvalid = glayout.valid.astype(moving8.dtype)
+    if robust_adaptive and robust != "none":
+        d2 = rbc_min_dists_grouped(index, mg, qvalid, G, b_row, alpha,
+                                   use_pallas=use_pallas,
+                                   interpret=interpret)
+        robust_delta = _adaptive_delta_grouped(d2, robust)
     return rbc_point_moments_grouped(index, mg, qvalid, G, b_row, alpha, c,
                                      weighted=weighted,
                                      use_pallas=use_pallas,
@@ -289,6 +330,7 @@ def rbc_gn_system(index: RBCIndex, moving8: jnp.ndarray,
                   q: jnp.ndarray, t: jnp.ndarray, s: jnp.ndarray,
                   alpha, query_capacity: int, *, mode: str, weighted: bool,
                   use_pallas: bool, robust: str = "none", robust_delta=0.0,
+                  robust_adaptive: bool = False,
                   gicp_eps=0.0, mnormals_rot: jnp.ndarray | None = None,
                   v_layout: str = "sublane",
                   interpret: bool = False) -> jnp.ndarray:
@@ -336,6 +378,12 @@ def rbc_gn_system(index: RBCIndex, moving8: jnp.ndarray,
     mg = glayout.grouped[0]
     nm = None if mode == "plane" else glayout.grouped[1]
     qvalid = glayout.valid.astype(moving8.dtype)
+
+    if robust_adaptive and robust != "none":
+        d2 = rbc_min_dists_grouped(index, mg, qvalid, G, b_row, alpha,
+                                   use_pallas=use_pallas,
+                                   interpret=interpret)
+        robust_delta = _adaptive_delta_grouped(d2, robust)
 
     if use_pallas:
         use_pallas = gn_kernel_fits(n_r, mg.shape[1],

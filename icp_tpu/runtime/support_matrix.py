@@ -101,6 +101,10 @@ def kernel_rows() -> Iterator[KernelRow]:
                     f"point|{n_r}x{cq}x{cb}|w{int(weighted)}|{robust}|bb{bb}",
                     "point", name, weighted=weighted, robust=robust)
 
+        # d2-only pass (adaptive robust scale) — same block policy as the
+        # moment kernel.
+        yield KernelRow(f"mindist|{n_r}x{cq}x{cb}|bb{bb}", "mindist", name)
+
         for mode in fused_gn.GN_MODES:
             bbg = fused_gn._auto_bin_batch_gn(n_r, cq, cb, mode)
             variants = ([(True, "none"), (True, "trimmed"), (False, "none")]

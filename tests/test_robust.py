@@ -203,6 +203,70 @@ def test_robust_adaptive_clean_pair_still_converges(rng):
     assert float(qangle_deg(qmul(st.q, qconj(jnp.asarray(q_true))))) < 0.01
 
 
+def test_robust_adaptive_fused_matches_grouped(rng):
+    """robust_adaptive on the fused pipeline (d2-only first pass deriving
+    the scale, then the in-kernel robust factor) equals the grouped-search
+    path's step at a random accumulated state."""
+    db = make_cloud8(rng, 512)
+    reps = db[rng.choice(512, 16, replace=False)]
+    idx = rbc_construct(jnp.asarray(db), jnp.asarray(reps),
+                        jnp.float32(150.0), 64)
+    moving = jnp.asarray(make_cloud8(rng, 512))
+    state = identity_state()._replace(
+        q=jnp.asarray(random_quat(rng, 0.05)),
+        t=jnp.asarray((rng.normal(size=3) * 10).astype(np.float32)))
+    params = ICPParams(alpha=150.0, robust_delta=1e9).as_f32()
+    base = dict(m=512, n_r=16, query_capacity=64,
+                weighting=Weighting.REGULAR, robust=RobustKernel.TUKEY,
+                robust_adaptive=True, use_pallas=False)
+    s_fused = icp_step(state, moving, idx, params,
+                       ICPConfig(**base, fused_point=True))
+    s_ref = icp_step(state, moving, idx, params,
+                     ICPConfig(**base, fused_point=False))
+    np.testing.assert_allclose(np.asarray(s_fused.q), np.asarray(s_ref.q),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s_fused.t), np.asarray(s_ref.t),
+                               atol=0.05)
+
+
+def test_min_dists_pallas_matches_ref_twin(rng):
+    """Interpret-mode d2-only kernel == XLA twin (incl. the +inf invalid
+    encoding), and the derived adaptive scale matches."""
+    from icp_tpu.kernels.fused_step import (
+        bin_min_dists_pallas,
+        bin_min_dists_ref,
+    )
+    from icp_tpu.ops.moments import adaptive_robust_delta
+    from icp_tpu.rbc.grouping import group_rows_by_bin
+    from icp_tpu.rbc.search import rbc_point_assign
+
+    db = make_cloud8(rng, 512)
+    reps = db[rng.choice(512, 16, replace=False)]
+    idx = rbc_construct(jnp.asarray(db), jnp.asarray(reps),
+                        jnp.float32(150.0), 64)
+    moving = np.asarray(make_cloud8(rng, 512))
+    moving[:5] = 0.0  # invalid originals -> +inf slots
+    moving = jnp.asarray(moving)
+    st = identity_state()
+    rid, G, b_row = rbc_point_assign(idx, moving, st.q, st.t, st.s,
+                                     jnp.float32(150.0), use_pallas=False)
+    gl = group_rows_by_bin(rid, 16, 64, (moving,))
+    qvalid = gl.valid.astype(moving.dtype)
+    args = (gl.grouped[0], qvalid, idx.reps, idx.bins_centered,
+            idx.sq_b_masked, G, b_row, jnp.float32(150.0))
+    d_k = np.asarray(bin_min_dists_pallas(*args, interpret=True))
+    d_r = np.asarray(bin_min_dists_ref(*args))
+    assert np.array_equal(np.isfinite(d_k), np.isfinite(d_r))
+    assert np.isinf(d_k).sum() >= 5  # the zeroed originals are invalid
+    fin = np.isfinite(d_r)
+    np.testing.assert_allclose(d_k[fin], d_r[fin], rtol=1e-5, atol=1e-3)
+    del_k = adaptive_robust_delta(jnp.asarray(d_k).reshape(-1),
+                                  jnp.isfinite(d_k).reshape(-1), "tukey")
+    del_r = adaptive_robust_delta(jnp.asarray(d_r).reshape(-1),
+                                  jnp.isfinite(d_r).reshape(-1), "tukey")
+    np.testing.assert_allclose(float(del_k), float(del_r), rtol=1e-4)
+
+
 def test_robust_adaptive_sharded_supported():
     """robust_adaptive now runs on the sharded path (distributed residual
     median — see tests/test_sharded.py for the accuracy/parity checks);
