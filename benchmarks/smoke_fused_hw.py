@@ -240,12 +240,13 @@ def main() -> None:
             scene, pose_b).reshape(-1, 8))
         rel = se3.relative(synthetic.CameraPose.identity(), pose_b)
 
-        def e2e(obj, fused_field, bound_mm):
+        def e2e(obj, fused_field, bound_mm, key=None, **extra_cfg):
             def run_row():
                 errs = {}
                 for fused in (True, False):
                     cfg = dataclasses.replace(
-                        ICPConfig(estimate_scale=False, objective=obj),
+                        ICPConfig(estimate_scale=False, objective=obj,
+                                  **extra_cfg),
                         **{fused_field: fused})
                     s = jax.block_until_ready(register(la, lb, params, cfg))
                     t_err = float(jnp.linalg.norm(s.t - rel.t))
@@ -254,10 +255,12 @@ def main() -> None:
                         (obj, fused, t_err, a_err)
                     errs[fused] = (t_err, a_err)
                 return abs(errs[True][0] - errs[False][0]) / 100.0
-            record(f"e2e-{obj.value}", run_row)
+            record(key or f"e2e-{obj.value}", run_row)
 
         e2e(Objective.POINT, "fused_point", 5.0)
         e2e(Objective.PLANE, "fused_gn", 1.0)
+        e2e(Objective.PLANE, "fused_gn", 1.0, key="e2e-plane_sym",
+            plane_symmetric=True)
         e2e(Objective.GICP, "fused_gn", 1.0)
 
     with open(table_path, "w") as f:

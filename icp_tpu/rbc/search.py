@@ -250,7 +250,17 @@ def rbc_min_dists_grouped(index: RBCIndex, mg: jnp.ndarray,
                           interpret: bool = False) -> jnp.ndarray:
     """Blended squared NN distance per grouped query slot (+inf invalid) —
     the adaptive-robust first pass (kernels.fused_step.bin_min_dists_*).
-    Feed ops.moments.adaptive_robust_delta with mask = isfinite."""
+    Feed ops.moments.adaptive_robust_delta with mask = isfinite.
+
+    Truncation note: the median sees only queries that HOLD a slot in the
+    grouped layout — moving points dropped by query_capacity overflow are
+    excluded (the same drop the moment kernels apply to the reduction
+    itself), whereas the unfused grouped-search path's
+    ``adaptive_robust_delta`` sees every moving point. At high bin
+    occupancy the two paths can therefore derive slightly different robust
+    scales and take slightly different steps; both converge to the same
+    fixed point and tests bound the drop rate (<~1% at default capacities).
+    """
     from icp_tpu.kernels.fused_step import (
         bin_min_dists_pallas,
         bin_min_dists_ref,

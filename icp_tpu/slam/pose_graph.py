@@ -166,10 +166,14 @@ def _solve_dense(H, b, n: int, lam, fix_first: bool):
     stationary."""
     Hf = H.reshape(6 * n, 6 * n)
     bf = b.reshape(6 * n)
+    # Marquardt scale from diagonal(H) BEFORE the gauge anchor — the anchor
+    # enters the system separately, not the scale (mirrors the PCG path's
+    # _finish_precond; with the anchor included node 0 would receive an
+    # extra lam*1e12 damping term, up to 1e20 near f32 range).
+    d = jnp.maximum(jnp.diagonal(Hf), _DIAG_FLOOR)
     if fix_first:
         anchor = jnp.zeros((6 * n,), H.dtype).at[:6].set(1e12)
         Hf = Hf + jnp.diag(anchor)
-    d = jnp.maximum(jnp.diagonal(Hf), _DIAG_FLOOR)
     Hf = Hf + lam * jnp.diag(d)
     return -jnp.linalg.solve(Hf, bf).reshape(n, 6)
 
@@ -281,8 +285,8 @@ def _finish_precond(D, lam, anchor):
     eye = jnp.eye(6, dtype=D.dtype)
     Dd = D + lam * jax.vmap(jnp.diag)(dscale)
     Dd = Dd.at[0].add(anchor * eye)
-    dscale0 = dscale  # anchor enters the hvp separately, not the scale
-    return dscale0, jnp.linalg.inv(Dd)
+    # dscale excludes the anchor: it enters the hvp separately, not the scale.
+    return dscale, jnp.linalg.inv(Dd)
 
 
 def _pcg(hvp, Minv, b, iters: int):
