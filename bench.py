@@ -115,13 +115,23 @@ def main() -> None:
             t_err = float(jnp.linalg.norm(st.t - truth.t))
             a_err = float(qangle_deg(qmul(st.q, qconj(truth.q))))
             gates[name] = {"ok": bool(t_err < t_bound and a_err < a_bound),
-                           "t_err": t_err, "a_err": a_err}
+                           "t_err": t_err, "a_err": a_err, "k": int(st.k)}
         except Exception as e:  # noqa: BLE001 - record, never abort bench
             gates[name] = {"ok": False, "t_err": float("nan"),
                            "a_err": float("nan"),
                            "error": " ".join(str(e).split())[:300]}
 
     gate("plane", ICPConfig(estimate_scale=False, objective=Objective.PLANE),
+         1.0, 0.05)
+    measure_block()
+    # Symmetric point-to-plane (Rusinkiewicz's objective): constrain along
+    # the averaged fixed+moving normal. Same sub-mm class as PLANE; its
+    # claim to fame is a wider quadratic basin, i.e. convergence in FEWER
+    # iterations at equal accuracy — both k values are emitted so the
+    # capture shows it (plane_k vs plane_sym_k).
+    gate("plane_sym",
+         ICPConfig(estimate_scale=False, objective=Objective.PLANE,
+                   plane_symmetric=True),
          1.0, 0.05)
     measure_block()
     # Robust gate: 12% gross outliers injected into the moving landmarks;
@@ -150,6 +160,47 @@ def main() -> None:
          1.0, 0.05)
     measure_block()
 
+    # 4x workload (m=65536 landmarks, n_r=1024 representatives): the
+    # flagship shape is launch-latency-bound (~0.2 GFLOP/iteration), so
+    # the TPU's compute advantage shows at scale — this makes the README's
+    # scaled-workload claim a driver-visible capture instead of a
+    # builder-side profile. Same marginal differencing as the headline.
+    best4 = {ITERS_HI: float("inf"), ITERS_LO: float("inf")}
+    four_x: dict[str, float | str] = {}
+    ctx4: dict = {}
+
+    def measure_block4(rounds: int = 6) -> None:
+        """Safe anywhere: no-op once the 4x path has recorded an error."""
+        if four_x or not ctx4:
+            return
+        try:
+            for _ in range(rounds):
+                for k in (ITERS_HI, ITERS_LO):
+                    t0 = time.perf_counter()
+                    out = register(ctx4["fixed"], ctx4["moving"], params,
+                                   ctx4["configs"][k])
+                    assert int(out.k) == k
+                    best4[k] = min(best4[k], time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001 - record, never abort bench
+            four_x["icp_4x_error"] = " ".join(str(e).split())[:300]
+
+    try:
+        fixed4_np, moving4_np = _synthetic_pair(65536, seed=1)
+        from icp_tpu import ICPConfig as _C
+
+        ctx4 = {"fixed": jnp.asarray(fixed4_np),
+                "moving": jnp.asarray(moving4_np),
+                "configs": {k: _C(m=65536, n_r=1024, max_iterations=k)
+                            for k in (ITERS_HI, ITERS_LO)}}
+        for k in (ITERS_HI, ITERS_LO):  # compile + warm (zero thresholds)
+            st4 = jax.block_until_ready(
+                register(ctx4["fixed"], ctx4["moving"], params,
+                         ctx4["configs"][k]))
+            assert int(st4.k) == k, (int(st4.k), k)
+        measure_block4()
+    except Exception as e:  # noqa: BLE001 - record, never abort bench
+        four_x["icp_4x_error"] = " ".join(str(e).split())[:300]
+
     # Pyramid gate: coarse-to-fine from a LARGE offset (outside the
     # single-level basin for fast motion) must still land on the truth.
     q_big = np.array([0, np.sin(0.03), 0, np.cos(0.03)], np.float32)
@@ -173,21 +224,28 @@ def main() -> None:
                             "a_err": float("nan"),
                             "error": " ".join(str(e).split())[:300]}
 
-    # Sequence gate (VERDICT r2 item 7): a 100-frame rendered RGB-D
-    # sequence registered frame-to-frame as ONE device dispatch
-    # (lax.scan of full registrations), with drift measured against the
-    # renderer's ground-truth trajectory. Makes the odometry/SLAM claims
+    # Sequence gate (VERDICT r2 item 7, real data per r3 item 6): a
+    # 100-frame RGB-D sequence registered frame-to-frame as ONE device
+    # dispatch (lax.scan of full registrations), with drift measured
+    # against the ground-truth trajectory. Makes the odometry/SLAM claims
     # as driver-reproducible as the iteration latency: ATE is global
     # consistency over the whole path, RPE(10) is local drift per 10
     # frames (Sturm et al. TUM metrics), and frames/s is the marginal
     # rate ((T(100) - T(50)) / 50 — same differencing as the headline).
-    # Real Kinect captures need dataset egress this environment forbids
-    # (docs/ROADMAP.md); the rendered sequence with exact ground truth is
-    # the strictest available substitute.
+    # The frames are REAL-DATA observations (sensors/realdata.py): USGS
+    # airborne-LiDAR terrain geometry textured with a real photograph,
+    # reprojected per pose with an occlusion-aware z-buffer — real surface
+    # statistics, resampling artifacts, and invalid-pixel holes in the
+    # driver-visible numbers. Captured Kinect sequences need dataset
+    # egress this environment forbids (docs/ROADMAP.md); this is the
+    # strictest available substitute. Bounds are wider than the synthetic
+    # scene's (ATE 9.2 mm in BENCH_r03): real terrain adds occlusion holes
+    # and resampling noise per frame.
     seq: dict[str, float | str] = {}
     try:
         from functools import partial
 
+        from icp_tpu.sensors import realdata
         from icp_tpu.slam.odometry import (absolute_trajectory_error,
                                            odometry_chain_device,
                                            relative_pose_error)
@@ -196,11 +254,15 @@ def main() -> None:
         n_frames = 100
         poses = synthetic.orbit_trajectory(n_frames, radius_mm=120.0,
                                            yaw_rad=0.12)
-        render = jax.jit(lambda q, t: get_landmarks(synthetic.render_cloud(
-            scene, synthetic.CameraPose(q, t)).reshape(-1, 8)))
-        lms = jnp.stack([render(p.q, p.t) for p in poses])
+        surface = realdata.terrain_surface()
+        lms = jnp.stack([
+            get_landmarks(jnp.asarray(frame.reshape(-1, 8)))
+            for frame in realdata.terrain_frames(
+                ((np.asarray(p.q), np.asarray(p.t)) for p in poses),
+                surface=surface)])
         jax.block_until_ready(lms)
         measure_block()
+        measure_block4()
 
         seq_config = ICPConfig(max_iterations=15, estimate_scale=False,
                                objective=Objective.PLANE)
@@ -233,7 +295,11 @@ def main() -> None:
         path = sum(float(np.linalg.norm(np.asarray(gt[i + 1].t)
                                         - np.asarray(gt[i].t)))
                    for i in range(n_frames - 1))
-        gates["sequence"] = {"ok": bool(ate < 20.0 and rpe_t < 5.0),
+        # Real-terrain bounds: BENCH_r03's synthetic bounds were 20/5 at a
+        # measured ATE of 9.2 mm; real geometry adds occlusion holes and
+        # resampling noise per frame, so the gate allows 30/6 over the
+        # same 293 mm path.
+        gates["sequence"] = {"ok": bool(ate < 30.0 and rpe_t < 6.0),
                              "t_err": ate, "a_err": _rpe_r}
         seq = {"odometry_ate_mm_100f": round(ate, 3),
                "odometry_rpe10_mm": round(rpe_t, 3),
@@ -245,11 +311,17 @@ def main() -> None:
                              "error": " ".join(str(e).split())[:300]}
 
     # Two more spread-out blocks; ~10 s apart, widening the sampled drift
-    # horizon to the whole bench runtime.
+    # horizon to the whole bench runtime (4x blocks interleaved the same).
     measure_block()
+    measure_block4()
     time.sleep(10)
     measure_block()
+    measure_block4()
     per_iter_ms = (best[ITERS_HI] - best[ITERS_LO]) / (ITERS_HI - ITERS_LO) * 1e3
+    if not four_x and all(np.isfinite(v) for v in best4.values()):
+        per_iter_4x = ((best4[ITERS_HI] - best4[ITERS_LO])
+                       / (ITERS_HI - ITERS_LO) * 1e3)
+        four_x["icp_iteration_ms_f65536_r1024"] = round(per_iter_4x, 4)
 
     out = {
         "metric": "icp_iteration_ms_f16384_r256",
@@ -265,6 +337,12 @@ def main() -> None:
         out[f"{name}_ang_err_deg"] = round(g["a_err"], 5)
         if "error" in g:
             out[f"{name}_error"] = g["error"]
+    # Convergence-speed evidence for the symmetric objective: iterations
+    # to the thresholds at equal accuracy (expected plane_sym_k < plane_k).
+    for name in ("plane", "plane_sym"):
+        if "k" in gates.get(name, {}):
+            out[f"{name}_k"] = gates[name]["k"]
+    out.update(four_x)
     out.update(seq)
     if "error" in gates.get("sequence", {}):
         out["sequence_error"] = gates["sequence"]["error"]

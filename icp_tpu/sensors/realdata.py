@@ -149,10 +149,17 @@ def observe(points_w: np.ndarray, rgb: np.ndarray, q: np.ndarray,
 
     (q, t) is world-from-camera: p_w = R(q) p_c + t.
     """
-    from icp_tpu.icp.quaternion import qconj, qrotate
-
-    qi = np.asarray(qconj(np.asarray(q, np.float32)))
-    p_c = np.asarray(qrotate(qi, points_w - np.asarray(t, np.float32)))
+    # Pure numpy on purpose (module contract: host-side by construction) —
+    # a jnp qrotate here ships the ~27 MB surface through the device every
+    # frame, which on a tunneled accelerator costs seconds per frame.
+    x, y, z, w = np.asarray(q, np.float32)
+    R = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ], np.float32)
+    # camera-frame = R^T (p_w - t)  (R^T because (q, t) is world-from-cam).
+    p_c = (points_w - np.asarray(t, np.float32)) @ R
     z = p_c[:, 2]
     keep = z > 1.0
     p_c, col = p_c[keep], rgb[keep]
