@@ -50,9 +50,9 @@ def bin_table_pallas(sorted_rows, starts, *, capw: int, bb: int = BB,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_r // bb,),
-        in_specs=[pl.BlockSpec((m_pad, d), lambda s, i: (0, 0),
+        in_specs=[pl.BlockSpec((m_pad, d), lambda i, s: (0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((bb, capw, d), lambda s, i: (i, 0, 0),
+        out_specs=pl.BlockSpec((bb, capw, d), lambda i, s: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(

@@ -1,0 +1,91 @@
+"""Composed A/B: counts from the rep-assign kernel (sequential-grid
+accumulation) vs the grouping's searchsorted, inside the full POINT
+iteration. Both variants use the Pallas table build.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_HI, N_LO = 120, 24
+
+
+def main():
+    from icp_tpu import ICPConfig, ICPParams
+    from icp_tpu.icp.horn import solve_step_transform
+    from icp_tpu.icp.quaternion import qmul, qnormalize, qrotate
+    from icp_tpu.icp.run import build_index
+    from icp_tpu.icp.state import identity_state
+    from icp_tpu.rbc.grouping import group_rows_by_bin
+    from icp_tpu.rbc.search import (rbc_point_assign,
+                                    rbc_point_assign_counts,
+                                    rbc_point_moments_grouped)
+    from __graft_entry__ import _synthetic_pair
+
+    cfg = ICPConfig()
+    params = ICPParams(alpha=2e2).as_f32()
+    fixed_np, moving_np = _synthetic_pair(cfg.m)
+    fixed, moving = jnp.asarray(fixed_np), jnp.asarray(moving_np)
+    index = jax.block_until_ready(
+        jax.jit(lambda f: build_index(f, params, cfg))(fixed))
+    n_r, cq = cfg.n_r, cfg.query_capacity
+    print(f"shapes: m={cfg.m} n_r={n_r} cq={cq}", flush=True)
+
+    def body_builder(kernel_counts: bool):
+        def body(i, carry):
+            q, t, s = carry
+            if kernel_counts:
+                rid, counts, G, b_row = rbc_point_assign_counts(
+                    index, moving, q, t, s, params.alpha, use_pallas=True)
+            else:
+                rid, G, b_row = rbc_point_assign(
+                    index, moving, q, t, s, params.alpha, use_pallas=True)
+                counts = None
+            gl = group_rows_by_bin(rid, n_r, cq, (moving,),
+                                   use_pallas=True, counts=counts)
+            S11, mean_f, mean_m, _ = rbc_point_moments_grouped(
+                index, gl.grouped[0], gl.valid.astype(moving.dtype),
+                G, b_row, params.alpha, params.c,
+                weighted=True, use_pallas=True)
+            qk, tk, sk = solve_step_transform(S11, mean_f, mean_m,
+                                              mode="power",
+                                              estimate_scale=False)
+            return (qnormalize(qmul(qk, q)),
+                    sk * qrotate(qk, t) + tk, sk * s)
+        return body
+
+    st0 = identity_state()
+    carry0 = (st0.q, jnp.zeros((3,), jnp.float32), jnp.float32(1.0))
+
+    def timed(label, kernel_counts, reps=3):
+        @partial(jax.jit, static_argnames=("n",))
+        def run(c, n):
+            return jax.lax.fori_loop(0, n, body_builder(kernel_counts), c)
+
+        def t_of(n):
+            out = run(carry0, n)
+            float(np.asarray(out[1]).ravel()[0])
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = run(carry0, n)
+                float(np.asarray(out[1]).ravel()[0])
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        per = (t_of(N_HI) - t_of(N_LO)) / (N_HI - N_LO)
+        print(f"{label:48s} {per*1e3:8.4f} ms/iter", flush=True)
+
+    timed("POINT iter, searchsorted counts", False)
+    timed("POINT iter, kernel counts", True)
+    timed("POINT iter, searchsorted counts (repeat)", False)
+    timed("POINT iter, kernel counts (repeat)", True)
+
+
+if __name__ == "__main__":
+    main()

@@ -201,6 +201,25 @@ def main() -> None:
                 def run_row(row=row):
                     a, b = assign(True), assign(False)
                     return float(np.mean(a != b))
+            elif row.kind == "repassignc":
+                def run_row(row=row):
+                    from icp_tpu.rbc.search import rbc_point_assign_counts
+
+                    def f(use_pallas):
+                        g = jax.jit(lambda mv: rbc_point_assign_counts(
+                            index_pt, mv, st.q, st.t, st.s, params.alpha,
+                            use_pallas=use_pallas)[:2])
+                        rid, counts = jax.block_until_ready(g(moving))
+                        return np.asarray(rid), np.asarray(counts)
+                    (ra, ca), (rb, cb2) = f(True), f(False)
+                    # rid parity is tie-tolerant (argmin flips), but each
+                    # path's counts must match ITS OWN rid exactly — the
+                    # kernel's accumulation contract.
+                    self_a = float(np.any(
+                        np.bincount(ra, minlength=n_r) != ca))
+                    self_b = float(np.any(
+                        np.bincount(rb, minlength=n_r) != cb2))
+                    return max(float(np.mean(ra != rb)), self_a, self_b)
             elif row.kind == "point":
                 def run_row(row=row):
                     return _rel_err(point(row.weighted, row.robust, True),
@@ -214,6 +233,26 @@ def main() -> None:
             elif row.kind == "mindist":
                 def run_row(row=row):
                     return _rel_err(mindist(True), mindist(False))
+            elif row.kind == "table":
+                def run_row(row=row):
+                    # Bit-exact contract: the kernel is a permutation copy.
+                    d = 11 if row.with_normals else 8
+                    rows8 = (moving if d == 8 else
+                             jnp.concatenate([moving, mn_rot], axis=1))
+
+                    def grp(use_pallas):
+                        def f(mv):
+                            rid, _, _ = rbc_point_assign(
+                                index_pt, moving, st.q, st.t, st.s,
+                                params.alpha, use_pallas=False)
+                            g = group_rows_by_bin(rid, n_r, cq, (mv,),
+                                                  use_pallas=use_pallas)
+                            return (g.grouped[0]
+                                    * g.valid[..., None].astype(mv.dtype))
+                        return np.asarray(
+                            jax.block_until_ready(jax.jit(f)(rows8)))
+                    a, b = grp(True), grp(False)
+                    return 0.0 if np.array_equal(a, b) else 1.0
             elif row.kind == "binsearch":
                 def run_row(row=row):
                     return _rel_err(search(row.with_normals, True),

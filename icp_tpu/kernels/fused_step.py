@@ -332,6 +332,98 @@ def rep_assign_ref(moving8: jnp.ndarray, C: jnp.ndarray,
     return jnp.argmin(scores, axis=1).astype(jnp.int32)
 
 
+def _rep_assign_counts_kernel(p_ref, c_ref, srow_ref, out_ref, counts_ref):
+    """:func:`_rep_assign_kernel` + per-bin count accumulation.
+
+    The grouping needs per-bin counts; computed in XLA (searchsorted over
+    the sorted ids) they cost ~22 us/iteration at the flagship shape.
+    Here the one-hot winner selector falls out of the scores already in
+    VMEM, and counts accumulate across the SEQUENTIAL grid in the (1, n_r)
+    output block (constant index map) — the counts are free.
+    """
+    scores = srow_ref[:] - 2.0 * dot3(p_ref[:], c_ref[:],
+                                      (((1,), (0,)), ((), ())),
+                                      in_kernel=True)
+    n_r = scores.shape[1]
+    ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    # keepdims min + first-min-index select (see _rep_assign_kernel for why
+    # not argmin); the (BM, 1) winner broadcasts against the lane iota for
+    # the exact one-hot without any relayout.
+    mn = jnp.min(scores, axis=1, keepdims=True)
+    sel = jnp.min(jnp.where(scores <= mn, ids, n_r), axis=1, keepdims=True)
+    out_ref[:] = sel[:, 0].astype(jnp.int32)[None, :]
+
+    blk = jnp.sum((ids == sel).astype(jnp.int32), axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        counts_ref[:] = jnp.zeros_like(counts_ref)
+
+    counts_ref[:] += blk
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "interpret"))
+def rep_assign_counts_pallas(moving8: jnp.ndarray, C: jnp.ndarray,
+                             srow: jnp.ndarray, *, block_m: int = 0,
+                             interpret: bool = False):
+    """Fused transform + rep argmin + per-bin counts.
+
+    Same contract as :func:`rep_assign_pallas` plus a second output:
+    counts (n_r,) int32 with ``counts[b] == sum(rid == b)`` EXACTLY (the
+    one-hot is derived from the same first-min select as rid). Feed the
+    counts to grouping.group_rows_by_bin to skip its searchsorted.
+    """
+    m, d = moving8.shape
+    n_r = C.shape[1]
+    if block_m == 0:
+        block_m = _auto_block_m(m, n_r)
+    block_m = min(block_m, m)
+    assert m % block_m == 0, (m, block_m)
+    grid = (m // block_m,)
+
+    rid, counts = pl.pallas_call(
+        _rep_assign_counts_kernel,
+        compiler_params=_kernel_compiler_params(),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, n_r), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_r), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_m), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_r), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, m), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_r), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n_r * d + m * n_r,
+            bytes_accessed=4 * (m * d + d * n_r + m + n_r),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(moving8, C, srow)
+    return rid.reshape(m), counts.reshape(n_r)
+
+
+def rep_assign_counts_ref(moving8: jnp.ndarray, C: jnp.ndarray,
+                          srow: jnp.ndarray):
+    """Plain-XLA twin of :func:`rep_assign_counts_pallas`."""
+    rid = rep_assign_ref(moving8, C, srow)
+    n_r = C.shape[1]
+    counts = jnp.sum(
+        (rid[None, :] == jnp.arange(n_r, dtype=jnp.int32)[:, None])
+        .astype(jnp.int32), axis=1)
+    return rid, counts
+
+
 # ---------------------------------------------------------------------------
 # Kernel 2: per-bin search reduced to 8x8 moment matrices
 # ---------------------------------------------------------------------------

@@ -158,8 +158,11 @@ def _point_partials(local: RBCIndex, moving_local: jnp.ndarray,
     pre-mean moment sums; additive across shards (each query contributes
     on exactly its owner, so no mp de-duplication divide is needed).
     """
-    glayout = group_rows_by_bin(bin_of_query, n_r_local + 1, query_capacity,
-                                (moving_local,))
+    # use_pallas for the table build: auto-falls back to the XLA gather
+    # when n_r_local + 1 has no legal bin batch (odd parking-bin counts).
+    glayout = group_rows_by_bin(
+        bin_of_query, n_r_local + 1, query_capacity, (moving_local,),
+        use_pallas=config.use_pallas and jax.default_backend() == "tpu")
     mg = glayout.grouped[0][:n_r_local]
     qvalid = glayout.valid[:n_r_local].astype(moving_local.dtype)
     G, b_row = prep_similarity(state.q, state.t, state.s)
@@ -189,8 +192,9 @@ def _grouped_pairs(local: RBCIndex, tm: jnp.ndarray, params: ICPParams,
     Returns flattened (n_r_local*cq, ...) arrays: (moving, matched fixed,
     nn distance, pair mask, matched fixed normals, extra per-query rows).
     """
-    glayout = group_rows_by_bin(bin_of_query, n_r_local + 1, query_capacity,
-                                (tm, extra_rows))
+    glayout = group_rows_by_bin(
+        bin_of_query, n_r_local + 1, query_capacity, (tm, extra_rows),
+        use_pallas=config.use_pallas and jax.default_backend() == "tpu")
     tg = glayout.grouped[0][:n_r_local]
     eg = glayout.grouped[1][:n_r_local]
     qvalid = glayout.valid[:n_r_local]

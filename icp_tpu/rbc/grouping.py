@@ -133,12 +133,18 @@ class GroupedRows(NamedTuple):
     grouped: tuple
 
 
-def bin_sort_layout(bin_ids: jnp.ndarray, n_bins: int, capacity: int):
+def bin_sort_layout(bin_ids: jnp.ndarray, n_bins: int, capacity: int,
+                    counts: jnp.ndarray | None = None):
     """Bin-major stable sort layout: (sidx (n,) original index in bin-major
     order, counts (n_bins,), offsets (n_bins,), valid (n_bins, capacity)).
 
     One single-array sort of the composite key bin*n + i (index in the low
-    bits makes the sort stable for free); counts via an equality reduce."""
+    bits makes the sort stable for free); counts via an equality reduce.
+
+    ``counts`` optionally supplies precomputed per-bin counts (e.g. the
+    rep-assign kernel's free accumulation, fused_step.
+    rep_assign_counts_pallas) — must equal ``sum(bin_ids == b)`` exactly.
+    """
     n = bin_ids.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
     if n_bins * n < 2 ** 31:
@@ -155,10 +161,11 @@ def bin_sort_layout(bin_ids: jnp.ndarray, n_bins: int, capacity: int):
     # at every shape (-7.2% full-iteration at the flagship 256x16384,
     # -4.0% at 1024x65536; benchmarks/profile_counts.py). The module flag
     # exists only so that A/B harness can re-measure the dense variant.
-    if _LAYOUT_COUNTS_SORTED:
-        counts = _counts_from_sorted(sbin, n_bins)
-    else:
-        counts = _counts_dense(bin_ids, n_bins)
+    if counts is None:
+        if _LAYOUT_COUNTS_SORTED:
+            counts = _counts_from_sorted(sbin, n_bins)
+        else:
+            counts = _counts_dense(bin_ids, n_bins)
     cum = jnp.cumsum(counts)
     offsets = (cum - counts).astype(jnp.int32)
     valid = jnp.arange(capacity, dtype=jnp.int32)[None, :] < counts[:, None]
@@ -166,7 +173,9 @@ def bin_sort_layout(bin_ids: jnp.ndarray, n_bins: int, capacity: int):
 
 
 def group_rows_by_bin(bin_ids: jnp.ndarray, n_bins: int, capacity: int,
-                      rows_list: tuple) -> GroupedRows:
+                      rows_list: tuple, use_pallas: bool = False,
+                      interpret: bool = False,
+                      counts: jnp.ndarray | None = None) -> GroupedRows:
     """Group row data into fixed-capacity bins WITHOUT the member table.
 
     The original ``group_by_bin`` + ``gather_grouped`` chain costs
@@ -193,11 +202,17 @@ def group_rows_by_bin(bin_ids: jnp.ndarray, n_bins: int, capacity: int,
       n_bins, capacity: static.
       rows_list: tuple of (n, d_i) float arrays to group (d_i may be 0 —
         such arrays pass through as empty (n_bins, capacity, 0)).
+      use_pallas: build the padded table with the Pallas dynamic-slice
+        kernel (kernels.table_build) instead of the XLA row gather —
+        bit-identical output, ~20 us faster at the flagship shape (the
+        gather lowers as ~24.5k scattered 32 B row copies; the kernel
+        copies each bin's contiguous run as one vector slice).
     """
     n = bin_ids.shape[0]
-    sidx, counts, offsets, valid = bin_sort_layout(bin_ids, n_bins, capacity)
+    sidx, counts, offsets, valid = bin_sort_layout(bin_ids, n_bins, capacity,
+                                                   counts=counts)
 
-    # Single concat -> one sorted permute -> one table gather for ALL row
+    # Single concat -> one sorted permute -> one table build for ALL row
     # data, then split back per input array.
     spans = [rows.shape[1] for rows in rows_list]
     nonempty = [rows for rows in rows_list if rows.shape[1] > 0]
@@ -208,10 +223,22 @@ def group_rows_by_bin(bin_ids: jnp.ndarray, n_bins: int, capacity: int,
                else jnp.concatenate(nonempty, axis=1))
         d_total = big.shape[1]
         sorted_big = jnp.take(big, sidx, axis=0)
-        padded = jnp.concatenate(
-            [sorted_big, jnp.zeros((capacity, d_total), big.dtype)], axis=0)
-        table = jnp.take(padded, flat_pos.reshape(-1), axis=0).reshape(
-            n_bins, capacity, d_total)
+        if use_pallas:
+            from icp_tpu.kernels.table_build import (
+                bin_table_pallas,
+                table_kernel_fits,
+            )
+
+            use_pallas = table_kernel_fits(n, n_bins, capacity, d_total)
+        if use_pallas:
+            table = bin_table_pallas(sorted_big, offsets, capacity=capacity,
+                                     interpret=interpret)
+        else:
+            padded = jnp.concatenate(
+                [sorted_big, jnp.zeros((capacity, d_total), big.dtype)],
+                axis=0)
+            table = jnp.take(padded, flat_pos.reshape(-1), axis=0).reshape(
+                n_bins, capacity, d_total)
     grouped = []
     k = 0
     for rows, d in zip(rows_list, spans):

@@ -158,7 +158,8 @@ def rbc_search_grouped(index: RBCIndex, queries: jnp.ndarray, alpha,
     # One payload sort groups queries (and any side rows) bin-major with no
     # member table / gather (see grouping.group_rows_by_bin).
     glayout = group_rows_by_bin(query_rep, n_r, query_capacity,
-                                (queries, extra_rows))
+                                (queries, extra_rows),
+                                use_pallas=use_pallas, interpret=interpret)
     queries_g, extra_g = glayout.grouped  # (n_r, cq, 8), (n_r, cq, k)
     qlayout = glayout
     qc = queries_g - index.reps[:, None, :]  # per-bin centering
@@ -208,6 +209,34 @@ def rbc_point_assign(index: RBCIndex, moving8: jnp.ndarray,
     else:
         rid = rep_assign_ref(moving8, C, srow)
     return rid, G, b_row
+
+
+def rbc_point_assign_counts(index: RBCIndex, moving8: jnp.ndarray,
+                            q: jnp.ndarray, t: jnp.ndarray, s: jnp.ndarray,
+                            alpha, *, use_pallas: bool,
+                            interpret: bool = False):
+    """:func:`rbc_point_assign` + per-bin query counts.
+
+    The grouping's counts come free from the assignment kernel's
+    sequential-grid accumulation (fused_step.rep_assign_counts_*), saving
+    the grouping's ~22 us searchsorted at the flagship shape. Returns
+    (rid (m,), counts (n_r,), G (8, 8), b_row (1, 8)).
+    """
+    from icp_tpu.kernels.fused_step import (
+        prep_rep_assign,
+        prep_similarity,
+        rep_assign_counts_pallas,
+        rep_assign_counts_ref,
+    )
+
+    G, b_row = prep_similarity(q, t, s)
+    C, srow = prep_rep_assign(index.reps, alpha, G, b_row)
+    if use_pallas:
+        rid, counts = rep_assign_counts_pallas(moving8, C, srow,
+                                               interpret=interpret)
+    else:
+        rid, counts = rep_assign_counts_ref(moving8, C, srow)
+    return rid, counts, G, b_row
 
 
 def rbc_point_moments_grouped(index: RBCIndex, mg: jnp.ndarray,
@@ -317,10 +346,12 @@ def rbc_point_moments(index: RBCIndex, moving8: jnp.ndarray,
        mean_f (3,), mean_m (3,), sum_w scalar).
     """
     n_r = index.reps.shape[0]
-    rid, G, b_row = rbc_point_assign(index, moving8, q, t, s, alpha,
-                                     use_pallas=use_pallas,
-                                     interpret=interpret)
-    glayout = group_rows_by_bin(rid, n_r, query_capacity, (moving8,))
+    rid, counts, G, b_row = rbc_point_assign_counts(
+        index, moving8, q, t, s, alpha, use_pallas=use_pallas,
+        interpret=interpret)
+    glayout = group_rows_by_bin(rid, n_r, query_capacity, (moving8,),
+                                use_pallas=use_pallas, interpret=interpret,
+                                counts=counts)
     (mg,) = glayout.grouped
     qvalid = glayout.valid.astype(moving8.dtype)
     if robust_adaptive and robust != "none":
@@ -379,12 +410,14 @@ def rbc_gn_system(index: RBCIndex, moving8: jnp.ndarray,
     assert index.bins_vals12 is not None, \
         "rbc_gn_system needs an index built with normals"
     n_r = index.reps.shape[0]
-    rid, G, b_row = rbc_point_assign(index, moving8, q, t, s, alpha,
-                                     use_pallas=use_pallas,
-                                     interpret=interpret)
+    rid, counts, G, b_row = rbc_point_assign_counts(
+        index, moving8, q, t, s, alpha, use_pallas=use_pallas,
+        interpret=interpret)
     rows = ((moving8,) if mode == "plane"
             else (moving8, mnormals_rot))
-    glayout = group_rows_by_bin(rid, n_r, query_capacity, rows)
+    glayout = group_rows_by_bin(rid, n_r, query_capacity, rows,
+                                use_pallas=use_pallas, interpret=interpret,
+                                counts=counts)
     mg = glayout.grouped[0]
     nm = None if mode == "plane" else glayout.grouped[1]
     qvalid = glayout.valid.astype(moving8.dtype)

@@ -93,6 +93,10 @@ def kernel_rows() -> Iterator[KernelRow]:
         bm = fused_step._auto_block_m(cfg.m, n_r)
         yield KernelRow(f"repassign|m{cfg.m}|nr{n_r}|bm{bm}",
                         "repassign", name)
+        # Assignment + free per-bin counts (sequential-grid accumulation)
+        # — the production assignment since round 4.
+        yield KernelRow(f"repassignc|m{cfg.m}|nr{n_r}|bm{bm}",
+                        "repassignc", name)
 
         bb = fused_step._auto_bin_batch(n_r, cq, cb)
         for weighted in ((True, False) if flag else (True,)):
@@ -104,6 +108,19 @@ def kernel_rows() -> Iterator[KernelRow]:
         # d2-only pass (adaptive robust scale) — same block policy as the
         # moment kernel.
         yield KernelRow(f"mindist|{n_r}x{cq}x{cb}|bb{bb}", "mindist", name)
+
+        # Padded bin-table build (kernels.table_build): d=8 groups queries
+        # alone (POINT/PLANE), d=11 groups queries ++ moving normals
+        # (plane_sym/GICP). The key carries m — the full sorted array is
+        # the kernel's VMEM block, so legality depends on it.
+        from icp_tpu.kernels import table_build
+
+        for d in (8, 11):
+            if table_build.table_kernel_fits(cfg.m, n_r, cq, d):
+                bbt = table_build._auto_bin_batch_table(n_r)
+                yield KernelRow(
+                    f"table|m{cfg.m}|nr{n_r}|cap{cq}|d{d}|bb{bbt}",
+                    "table", name, with_normals=d == 11)
 
         for mode in fused_gn.GN_MODES:
             bbg = fused_gn._auto_bin_batch_gn(n_r, cq, cb, mode)

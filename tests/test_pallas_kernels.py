@@ -4,6 +4,7 @@ Mirrors the reference's per-kernel golden discipline: the fused kernel must
 agree exactly in semantics with the XLA reference path.
 """
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -63,3 +64,98 @@ def test_bin_search_kernel_direct(rng):
             np.testing.assert_allclose(np.asarray(matched[r, qi]), bins[r, j],
                                        atol=1e-4)
 
+
+
+def test_bin_table_kernel_bit_exact(rng):
+    """The padded bin-table Pallas kernel is a permutation copy — its
+    output must be BIT-IDENTICAL to the XLA row gather, including the
+    garbage slots past each bin's count (same padded-read contract)."""
+    from icp_tpu.kernels.table_build import bin_table_pallas, bin_table_ref
+    from icp_tpu.rbc.grouping import bin_sort_layout
+
+    n, n_bins, cap = 1024, 16, 96
+    ids = jnp.asarray(rng.integers(0, n_bins, n).astype(np.int32))
+    rows = jnp.asarray(rng.normal(size=(n, 11)).astype(np.float32))
+    sidx, counts, offsets, valid = bin_sort_layout(ids, n_bins, cap)
+    sorted_rows = jnp.take(rows, sidx, axis=0)
+    ref = bin_table_ref(sorted_rows, offsets, capacity=cap)
+    got = bin_table_pallas(sorted_rows, offsets, capacity=cap,
+                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_group_rows_by_bin_pallas_path(rng):
+    """group_rows_by_bin(use_pallas=True) must agree bit-for-bit with the
+    XLA path on every grouped array and the layout metadata."""
+    from icp_tpu.rbc.grouping import group_rows_by_bin
+
+    n, n_bins, cap = 2048, 32, 96
+    ids = jnp.asarray(rng.integers(0, n_bins, n).astype(np.int32))
+    a = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    ref = group_rows_by_bin(ids, n_bins, cap, (a, b))
+    got = group_rows_by_bin(ids, n_bins, cap, (a, b),
+                            use_pallas=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.counts),
+                                  np.asarray(ref.counts))
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(ref.valid))
+    for g, r in zip(got.grouped, ref.grouped):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+def test_rep_assign_counts_kernel(rng):
+    """The counts output must equal bincount(rid) exactly, and rid must
+    match the plain assignment kernel bit-for-bit (same first-min select)."""
+    from icp_tpu.icp.quaternion import qidentity
+    from icp_tpu.kernels.fused_step import (prep_rep_assign,
+                                            prep_similarity,
+                                            rep_assign_counts_pallas,
+                                            rep_assign_counts_ref,
+                                            rep_assign_pallas)
+
+    n, n_r = 1024, 16
+    moving = jnp.asarray(make_cloud8(rng, n))
+    reps = moving[:: n // n_r][:n_r]
+    G, b_row = prep_similarity(qidentity(), jnp.zeros(3), jnp.float32(1.0))
+    C, srow = prep_rep_assign(reps, jnp.float32(ALPHA), G, b_row)
+
+    rid_k, counts_k = rep_assign_counts_pallas(moving, C, srow,
+                                               block_m=256, interpret=True)
+    rid_r, counts_r = rep_assign_counts_ref(moving, C, srow)
+    rid_plain = rep_assign_pallas(moving, C, srow, block_m=256,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(rid_k), np.asarray(rid_plain))
+    np.testing.assert_array_equal(
+        np.asarray(counts_k),
+        np.bincount(np.asarray(rid_k), minlength=n_r))
+    np.testing.assert_array_equal(np.asarray(rid_k), np.asarray(rid_r))
+    np.testing.assert_array_equal(np.asarray(counts_k),
+                                  np.asarray(counts_r))
+
+
+def test_rep_assign_counts_kernel_vmap(rng):
+    """register_batch vmaps the whole iteration; the counts kernel's
+    sequential-grid accumulation must stay per-lane under batching."""
+    from icp_tpu.icp.quaternion import qidentity
+    from icp_tpu.kernels.fused_step import (prep_rep_assign,
+                                            prep_similarity,
+                                            rep_assign_counts_pallas)
+
+    n, n_r, B = 512, 16, 3
+    movings = jnp.stack([jnp.asarray(make_cloud8(rng, n))
+                         for _ in range(B)])
+    reps = movings[0][:: n // n_r][:n_r]
+    G, b_row = prep_similarity(qidentity(), jnp.zeros(3), jnp.float32(1.0))
+    C, srow = prep_rep_assign(reps, jnp.float32(ALPHA), G, b_row)
+
+    rid_b, counts_b = jax.vmap(
+        lambda mv: rep_assign_counts_pallas(mv, C, srow, block_m=128,
+                                            interpret=True))(movings)
+    for i in range(B):
+        rid_i, counts_i = rep_assign_counts_pallas(
+            movings[i], C, srow, block_m=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(rid_b[i]),
+                                      np.asarray(rid_i))
+        np.testing.assert_array_equal(np.asarray(counts_b[i]),
+                                      np.asarray(counts_i))
