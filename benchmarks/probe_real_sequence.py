@@ -27,15 +27,23 @@ def main():
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     poses = synthetic.orbit_trajectory(n_frames, radius_mm=120.0,
                                        yaw_rad=0.12)
-    surface = realdata.terrain_surface()
-    t0 = time.time()
-    lms = jnp.stack([
-        get_landmarks(jnp.asarray(frame.reshape(-1, 8)))
-        for frame in realdata.terrain_frames(
-            ((np.asarray(p.q), np.asarray(p.t)) for p in poses),
-            surface=surface)])
-    jax.block_until_ready(lms)
-    print(f"rendered {n_frames} frames in {time.time()-t0:.1f}s", flush=True)
+    cache = f"/tmp/probe_real_seq_lms_{n_frames}.npy"
+    import os
+    if os.path.exists(cache):
+        lms = jnp.asarray(np.load(cache))
+        print(f"loaded cached frames from {cache}", flush=True)
+    else:
+        surface = realdata.terrain_surface()
+        t0 = time.time()
+        lms = jnp.stack([
+            get_landmarks(jnp.asarray(frame.reshape(-1, 8)))
+            for frame in realdata.terrain_frames(
+                ((np.asarray(p.q), np.asarray(p.t)) for p in poses),
+                surface=surface)])
+        jax.block_until_ready(lms)
+        np.save(cache, np.asarray(lms))
+        print(f"rendered {n_frames} frames in {time.time()-t0:.1f}s",
+              flush=True)
     params = ICPParams(alpha=2e2, angle_threshold_deg=0.0,
                        translation_threshold=0.0).as_f32()
     gt = [se3.relative(poses[0], p) for p in poses]
@@ -51,7 +59,9 @@ def main():
         print(f"{name:28s} ATE={ate:7.2f} mm RPE10={rpe_t:6.2f} mm "
               f"rot={rpe_r:.4f} deg", flush=True)
 
-    evaluate("plane (current gate)",
+    from icp_tpu import RobustKernel
+
+    evaluate("plane (r3 gate)",
              ICPConfig(max_iterations=15, estimate_scale=False,
                        objective=Objective.PLANE))
     evaluate("gicp",
@@ -60,6 +70,21 @@ def main():
     evaluate("plane_sym",
              ICPConfig(max_iterations=15, estimate_scale=False,
                        objective=Objective.PLANE, plane_symmetric=True))
+    evaluate("gicp mi=10",
+             ICPConfig(max_iterations=10, estimate_scale=False,
+                       objective=Objective.GICP))
+    evaluate("gicp+trim adaptive",
+             ICPConfig(max_iterations=15, estimate_scale=False,
+                       objective=Objective.GICP,
+                       robust=RobustKernel.TRIMMED, robust_adaptive=True))
+    evaluate("plane+trim adaptive",
+             ICPConfig(max_iterations=15, estimate_scale=False,
+                       objective=Objective.PLANE,
+                       robust=RobustKernel.TRIMMED, robust_adaptive=True))
+    evaluate("plane_sym+trim adaptive",
+             ICPConfig(max_iterations=15, estimate_scale=False,
+                       objective=Objective.PLANE, plane_symmetric=True,
+                       robust=RobustKernel.TRIMMED, robust_adaptive=True))
 
 
 if __name__ == "__main__":
