@@ -74,6 +74,7 @@ def main():
         bin_point_moments_pallas,
         prep_rep_assign,
         prep_similarity,
+        rep_assign_counts_pallas,
         rep_assign_pallas,
     )
     from icp_tpu.ops import moments
@@ -174,14 +175,30 @@ def main():
             return body
         add("fused transform+rep-assign (Pallas)", "", assign_body, moving, n=2000)
 
+        def assignc_body():
+            def body(i, mv):
+                rid, cnt = rep_assign_counts_pallas(mv, C, srow)
+                return mv + ((rid[0] + cnt[0]) * 1e-20).astype(mv.dtype)
+            return body
+        add("fused transform+rep-assign+counts (Pallas)", "", assignc_body,
+            moving, n=2000)
+
     rep_ids = jnp.asarray(np.random.default_rng(0).integers(
         0, 256, 16384, dtype=np.int32))
+    rep_counts = jnp.sum(
+        (rep_ids[None, :] == jnp.arange(256, dtype=jnp.int32)[:, None])
+        .astype(jnp.int32), axis=1)
     def group_body():
+        # Production round-4 grouping: kernel-supplied counts + the Pallas
+        # dynamic-slice table build (sort + row gather + table).
         def body(i, mv):
-            gl = group_rows_by_bin(rep_ids, 256, config.query_capacity, (mv,))
+            gl = group_rows_by_bin(rep_ids, 256, config.query_capacity,
+                                   (mv,), use_pallas=use_pallas,
+                                   counts=rep_counts)
             return mv * (1.0 + gl.grouped[0][0, 0, 0] * 1e-30)
         return body
-    add("grouping (payload sort, 16384->256)", "", group_body, moving, n=2000)
+    add("grouping (sort+permute+table, 16384->256)", "", group_body, moving,
+        n=2000)
 
     gl = group_rows_by_bin(rep_ids, 256, config.query_capacity, (moving,))
     mg = gl.grouped[0]
@@ -195,6 +212,42 @@ def main():
                 return m_ * (1.0 + P[0, 0, 0] * 1e-30)
             return body
         add("fused bin search+weights+moments (Pallas)", "", mom_body, mg, n=2000)
+
+        from icp_tpu import Objective
+        from icp_tpu.kernels.fused_gn import bin_gn_moments_pallas
+        from icp_tpu.ops.normals import normals_for
+
+        # POINT's index carries no normals; the GN kernels read the
+        # 12-lane bins_vals table a normal-consuming config builds.
+        gn_config = ICPConfig(objective=Objective.GICP, estimate_scale=False)
+        gn_index = jax.block_until_ready(
+            jax.jit(lambda f: build_index(f, params, gn_config))(fixed))
+        nm = normals_for(moving, gn_config.normal_mode)
+        nm_g = group_rows_by_bin(rep_ids, 256, config.query_capacity,
+                                 (nm,)).grouped[0]
+
+        def gn_plane_body():
+            def body(i, m_):
+                P = bin_gn_moments_pallas(
+                    m_, None, qvalid, gn_index.reps, gn_index.bins_vals12,
+                    gn_index.sq_b_masked, G, b_row, params.alpha,
+                    mode="plane", weighted=True)
+                return m_ * (1.0 + P[0, 0, 0] * 1e-30)
+            return body
+        add("fused GN search+moments, PLANE (Pallas)", "", gn_plane_body,
+            mg, n=2000)
+
+        def gn_gicp_body():
+            def body(i, m_):
+                P, P_z = bin_gn_moments_pallas(
+                    m_, nm_g, qvalid, gn_index.reps, gn_index.bins_vals12,
+                    gn_index.sq_b_masked, G, b_row, params.alpha,
+                    mode="gicp", weighted=True,
+                    gicp_eps=params.gicp_epsilon)
+                return m_ * (1.0 + (P[0, 0, 0] + P_z[0, 0, 0]) * 1e-30)
+            return body
+        add("fused GN search+moments, GICP (Pallas)", "", gn_gicp_body,
+            mg, n=2000)
 
     def step_body():
         def body(i, st):
@@ -228,13 +281,28 @@ def main():
             "kernels (XLA materializes intermediate tensors when an op is "
             "timed in isolation that the fused iteration never allocates); "
             "the iteration row is the meaningful comparison, and the fused "
-            "Pallas rows show where it goes. getLMs is genuinely slower "
-            "than the reference's GPU kernel: a 128x128 sample of a "
-            "640x480 image is 16384 non-contiguous 32 B reads, which GPU "
-            "thread-coalescing hides and a TPU strided DMA cannot — it "
-            "runs once per frame (not per iteration), ~1.5% of the "
-            "odometry frame budget (see benchmarks/bench_odometry.py for "
-            "the current frames/s).\n")
+            "Pallas rows show where it goes. getLMs was the one row "
+            "genuinely losing to the reference's GPU kernel (a 128x128 "
+            "sample of a 640x480 image is 16384 scattered 32 B reads, "
+            "which GPU thread-coalescing hides and a TPU strided slice "
+            "cannot — measured 103 us); round 3 replaced the column "
+            "stride with an exact one-hot MXU contraction (row stride "
+            "stays a major-dim slice), bit-identical output (captures "
+            "since: 24.1 then 8.0 us — chip-window dependent, both sides "
+            "of the reference's 13; once per frame either way).\n\n"
+            "GICP's GN kernel carries TWO anisotropic data rows (the "
+            "Woodbury split's s/t directions) plus the z-moment second "
+            "output vs PLANE's one row — the GICP-PLANE kernel gap IS "
+            "that extra row stack + contraction. The alternatives are "
+            "measured dead ends: collapsing both rows into one "
+            "contraction ('rowcat') is +1.2% composed (alternating A/B, "
+            "benchmarks/profile_gicp_ab2.py, median of 5 pairwise deltas, "
+            "every pair negative), the 'lane' layout OOMs at production "
+            "shapes, and the round-2 closed-form Cholesky cost +0.13 ms "
+            "in serial sqrt/divides. The two-row cost is the floor of "
+            "the exact anisotropic objective on this hardware; bin_batch "
+            "16 vs 32 and rep-assign block_m 2048/4096/8192 are likewise "
+            "measured washes (benchmarks/probe_assign_ab.py).\n")
     print(f"wrote {OUT}")
 
 

@@ -258,8 +258,13 @@ def _gn_math(p, nm, qvalid, reps_blk, bins_vals, sq_b, G, b_row, alpha,
         # with contraction depth R*cq, instead of "sublane"'s R sequential
         # accumulate steps. cq is a multiple of 8, so the sublane concat
         # is always layout-legal. Single-row modes reduce to "sublane"
-        # exactly. (Measured a wash vs sublane at production shapes —
-        # kept for A/B; benchmarks/profile_gn_rowcat.py.)
+        # exactly. (Measured a wash kernel-only (profile_gn_rowcat.py)
+        # and +1.2% COMPOSED at the flagship GICP shape under the 64 MB
+        # limit — alternating same-process A/B, median of 5 pairwise
+        # deltas sublane-rowcat = -0.007 ms/iter, every pair negative
+        # (benchmarks/profile_gicp_ab2.py; the single-pass ordering in
+        # profile_gicp_composed.py that read rowcat 3-5% ahead was chip
+        # drift). Kept for A/B only; sublane stays the default.)
         v = (jnp.concatenate([jnp.stack(r, axis=-1) for r, _ in rows],
                              axis=1)
              if len(rows) > 1 else jnp.stack(rows[0][0], axis=-1))
