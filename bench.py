@@ -224,6 +224,50 @@ def main() -> None:
                             "a_err": float("nan"),
                             "error": " ".join(str(e).split())[:300]}
 
+    measure_block()
+    measure_block4()
+    # Wall gate: the reference's photometric-DECISIVE validation regime
+    # (kg_pc8d_wall, reference data/README.md — "shrinking alpha degrades
+    # it") on a real photograph texture: frontal wall, in-plane motion
+    # ~2.5x the landmark pitch. Geometry is degenerate, so this is the
+    # one driver-visible gate where the COLOR lanes carry the solution:
+    # alpha at matching scale must recover the lateral motion to a few
+    # mm, AND geometry-only alpha must miss it (proving the photometric
+    # term, not a lucky geometric basin, did the work). Wall-normal z is
+    # exact either way. Mirrors tests/test_wall.py's contract on the CPU;
+    # here it runs on the chip, where a bf16 regression in the color
+    # lanes would surface.
+    try:
+        from icp_tpu.sensors import realdata
+
+        wpts, wrgb = realdata.wall_surface()
+        id_q = np.array([0, 0, 0, 1], np.float32)
+        wt = np.array([30.0, -15.0, 4.0], np.float32)
+        wla = get_landmarks(jnp.asarray(
+            realdata.observe(wpts, wrgb, id_q, np.zeros(3, np.float32))
+            .reshape(-1, 8)))
+        wlb = get_landmarks(jnp.asarray(
+            realdata.observe(wpts, wrgb, id_q, wt).reshape(-1, 8)))
+        wall_config = ICPConfig(estimate_scale=False, max_iterations=60)
+
+        def wall_run(alpha):
+            st = jax.block_until_ready(register(
+                wla, wlb, ICPParams(alpha=alpha).as_f32(), wall_config))
+            lat = float(np.linalg.norm(np.asarray(st.t[:2]) - wt[:2]))
+            z_err = abs(float(st.t[2]) - float(wt[2]))
+            return lat, z_err
+
+        wall_lat, wall_z = wall_run(4e5)
+        geo_lat, geo_z = wall_run(1e-6)
+        gates["wall"] = {"ok": bool(wall_lat < 6.0 and wall_z < 0.5
+                                    and geo_z < 0.5 and geo_lat > 25.0),
+                         "t_err": wall_lat, "a_err": wall_z,
+                         "geo_lat": geo_lat}
+    except Exception as e:  # noqa: BLE001 - record, never abort bench
+        gates["wall"] = {"ok": False, "t_err": float("nan"),
+                         "a_err": float("nan"),
+                         "error": " ".join(str(e).split())[:300]}
+
     # Sequence gate (VERDICT r2 item 7, real data per r3 item 6): a
     # 100-frame RGB-D sequence registered frame-to-frame as ONE device
     # dispatch (lax.scan of full registrations), with drift measured
@@ -340,6 +384,14 @@ def main() -> None:
     for name, g in gates.items():
         if name == "sequence":
             continue  # reported via the odometry_* keys below
+        if name == "wall":  # lateral/z split, not a transform error pair
+            out["wall_lat_err_mm"] = round(g["t_err"], 4)
+            out["wall_z_err_mm"] = round(g["a_err"], 4)
+            if "geo_lat" in g:
+                out["wall_geo_lat_err_mm"] = round(g["geo_lat"], 4)
+            if "error" in g:
+                out["wall_error"] = g["error"]
+            continue
         out[f"{name}_t_err_mm"] = round(g["t_err"], 4)
         out[f"{name}_ang_err_deg"] = round(g["a_err"], 5)
         if "error" in g:
