@@ -312,9 +312,12 @@ def main() -> None:
         # (benchmarks/probe_real_sequence.py, v5e) measured ATE/RPE10 of
         # PLANE 32.3/8.7, plane_sym 26.6/7.6, GICP 17.1/4.5 mm — the
         # anisotropic plane-to-plane metric halves the drift on the rough
-        # real terrain, and it converges by iteration 10 (mi=10 and mi=15
-        # matched to 0.01 mm). Adaptive trimming helped none of them.
-        seq_config = ICPConfig(max_iterations=10, estimate_scale=False,
+        # real terrain. Adaptive trimming helped none of them. Iteration
+        # budget: ATE is identical at mi=6/8/10/15 (17.1 mm — GICP
+        # converges by ~6 on frame-to-frame motion; pairwise gates land
+        # at k=5), so mi=8 keeps one-iteration margin while the chain
+        # runs ~1.2x faster than mi=10 (233 vs 190 frames/s measured).
+        seq_config = ICPConfig(max_iterations=8, estimate_scale=False,
                                objective=Objective.GICP)
         # Zero-threshold params (the headline's): every frame runs the
         # full iteration budget, so the ks[-1] host read is a stable drain
@@ -325,7 +328,7 @@ def main() -> None:
         def run_chain(seq_lms):
             t0 = time.perf_counter()
             wq, wt, ks = chain(seq_lms)
-            assert int(ks[-1]) == 10  # host read drains the async chain
+            assert int(ks[-1]) == 8  # host read drains the async chain
             return time.perf_counter() - t0, wq, wt
 
         run_chain(lms)             # compile full length

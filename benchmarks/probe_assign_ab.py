@@ -1,7 +1,9 @@
-"""Alternating A/B: rep-assign block_m 2048 (production) vs 8192, composed
-POINT iteration at the flagship shape (follow-up to profile_assign_block's
-single-pass scan, where 8192 read ~0.015 ms ahead but inside the drift
-band). Optional argv: m n_r."""
+"""Alternating A/B: rep-assign block_m variants, composed POINT iteration
+(follow-up to profile_assign_block's single-pass scan, where 8192 read
+~0.015 ms ahead of the production 2048 at the flagship shape but inside
+the drift band). Optional argv: m n_r block_m block_m ... — the FIRST
+block size is the baseline (default shape 16384x256, blocks 2048 8192
+4096)."""
 
 from __future__ import annotations
 
@@ -68,7 +70,8 @@ def main():
             return jax.lax.fori_loop(0, n, body_builder(int(bm)), c)
         return run
 
-    ab_compare(make_run, ("2048", "8192", "4096"), carry0)
+    blocks = tuple(sys.argv[3:]) or ("2048", "8192", "4096")
+    ab_compare(make_run, blocks, carry0)
 
 
 if __name__ == "__main__":

@@ -150,12 +150,18 @@ def dot3(a: jnp.ndarray, b: jnp.ndarray, dims, *,
 
 def _auto_block_m(m: int, n_r: int) -> int:
     """Largest power-of-two block (<= DEFAULT_BLOCK_M) dividing m whose
-    (block_m, n_r) f32 score tensor stays within ~2 MB of VMEM — at the
-    flagship n_r=256 this is the measured-good 2048; at n_r=1024 an 8 MB
-    score block leaves Mosaic no double-buffering headroom (and the 4x
-    workload profile showed it serializing)."""
+    (block_m, n_r) f32 score tensor stays within ~8 MB of VMEM — at the
+    flagship n_r=256 this is the measured-good 2048 (2048/4096/8192 are
+    an alternating-A/B wash there, benchmarks/probe_assign_ab.py), and at
+    n_r=1024 it keeps block_m=2048 (8 MB): the round-2 2 MB cap forced
+    block_m=512 there — 128 grid steps — which the round-4 alternating
+    A/B at 65536x1024 measured ~2% slower composed than 2048/4096 (every
+    pair; median +0.033 ms/iter). The old "8 MB serializes" note was a
+    16 MB-Mosaic-limit observation; under the raised 64 MB limit
+    (KERNEL_VMEM_LIMIT) double-buffering headroom is no longer the
+    binding constraint."""
     bm = DEFAULT_BLOCK_M
-    limit = max(128, (2 * 1024 * 1024) // (n_r * 4))
+    limit = max(128, (8 * 1024 * 1024) // (n_r * 4))
     while bm > 128 and (bm > limit or m % bm != 0):
         bm //= 2
     return max(bm, 1) if m % max(bm, 1) == 0 else m

@@ -17,9 +17,15 @@ def test_rep_assign_block_flagship_unchanged():
 
 
 def test_rep_assign_block_shrinks_at_wide_reps():
+    # Round-4 allowance: 8 MB score blocks (2048x1024 measured ~2% faster
+    # composed than the old 512 cap at 65536x1024 — alternating A/B,
+    # benchmarks/probe_assign_ab.py). Still bounded: much wider rep counts
+    # must shrink the block below DEFAULT_BLOCK_M.
     bm = _auto_block_m(65536, 1024)
-    assert bm * 1024 * 4 <= 2 * 1024 * 1024  # score block <= 2 MB
-    assert 65536 % bm == 0 and bm >= 128
+    assert bm == 2048  # full DEFAULT_BLOCK_M rides the 8 MB allowance
+    bm_wide = _auto_block_m(65536, 8192)
+    assert bm_wide * 8192 * 4 <= 8 * 1024 * 1024  # score block <= 8 MB
+    assert 65536 % bm_wide == 0 and bm_wide >= 128
 
 
 def test_rep_assign_block_divides_odd_sizes():
