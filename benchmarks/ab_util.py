@@ -61,8 +61,10 @@ def ab_compare(make_run, variants, carry0, *, n_hi=N_HI, n_lo=N_LO,
         deltas = "  ".join(f"{v}:{per[v] - per[base]:+.4f}"
                            for v in variants[1:])
         print(f"pair {p}: {base}={per[base]:.4f} ms  {deltas}", flush=True)
+    # Single sign convention throughout: variant - base (positive = the
+    # variant is SLOWER), matching the per-pair delta lines above.
     for v in variants[1:]:
-        d = np.median([b - a for a, b in zip(series[v], series[base])])
-        print(f"median delta {base} - {v}: {d:+.4f} ms (n={npairs})",
+        d = np.median([a - b for a, b in zip(series[v], series[base])])
+        print(f"median delta {v} - {base}: {d:+.4f} ms (n={npairs})",
               flush=True)
     return series

@@ -25,10 +25,31 @@ def main():
     from icp_tpu.slam.se3 import Pose
 
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    poses = synthetic.orbit_trajectory(n_frames, radius_mm=120.0,
-                                       yaw_rad=0.12)
-    cache = f"/tmp/probe_real_seq_lms_{n_frames}.npy"
+    traj_kw = dict(radius_mm=120.0, yaw_rad=0.12)
+    poses = synthetic.orbit_trajectory(n_frames, **traj_kw)
+    # Cache key covers everything that shapes the rendered frames: the
+    # trajectory parameters and the mtimes of the rendering sources
+    # (realdata.py + synthetic.py + the data fixtures) — a stale cache here
+    # would silently feed outdated frames into gate-calibration decisions
+    # (this probe chose the production GICP mi=8). --no-cache forces a
+    # re-render regardless.
+    import hashlib
     import os
+
+    import icp_tpu.sensors.realdata as _rd
+    import icp_tpu.sensors.synthetic as _sy
+    srcs = [os.path.abspath(_rd.__file__), os.path.abspath(_sy.__file__)]
+    data_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data")
+    if os.path.isdir(data_dir):
+        srcs += sorted(os.path.join(data_dir, f)
+                       for f in os.listdir(data_dir))
+    key = hashlib.sha1(repr(
+        (sorted(traj_kw.items()),
+         [(s, os.path.getmtime(s)) for s in srcs])).encode()).hexdigest()[:10]
+    cache = f"/tmp/probe_real_seq_lms_{n_frames}_{key}.npy"
+    if "--no-cache" in sys.argv and os.path.exists(cache):
+        os.remove(cache)
     if os.path.exists(cache):
         lms = jnp.asarray(np.load(cache))
         print(f"loaded cached frames from {cache}", flush=True)

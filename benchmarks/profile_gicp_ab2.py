@@ -100,8 +100,7 @@ def main():
         print(f"pair {p}: sublane {per['sublane']*1e3:.4f} "
               f"rowcat {per['rowcat']*1e3:.4f} delta {d:+.4f} ms", flush=True)
     print(f"median delta (sublane - rowcat): {np.median(deltas):+.4f} ms "
-          f"({np.median(deltas)/np.median([d for d in deltas]) and ''}"
-          f"n={len(deltas)})", flush=True)
+          f"(n={len(deltas)})", flush=True)
 
 
 if __name__ == "__main__":

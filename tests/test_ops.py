@@ -178,6 +178,23 @@ def test_reduce_ops(rng):
                                x.astype(np.float64).sum(1), rtol=1e-5)
 
 
+def test_reduce_sum_fd_compensated_beats_f32(rng):
+    """On backends without f64 the compensated path must actually carry the
+    low-order bits the reference's double accumulation keeps: an input whose
+    naive f32 sum loses ~half the mantissa must come out near-exact."""
+    n = 16384
+    x = np.full(n, 0.1, np.float32)  # 0.1 is inexact in binary: f32
+    x[0] = 1e7                       # accumulation onto 1e7 drops its bits
+    want = float(x.astype(np.float64).sum())
+    naive = float(jnp.sum(jnp.asarray(x)))  # XLA's plain f32 reduce
+    got = float(red._neumaier_sum(jnp.asarray(x), axis=0))
+    # Compensation recovers the dropped bits: the result is correct up to
+    # the final rounding to f32 (1 ulp at 1e7 is 1.0), while the plain
+    # reduce is an order of magnitude off (measured -15.3 vs -0.3 here).
+    assert abs(got - want) <= 2 * np.spacing(np.float32(want)), (got, want)
+    assert abs(got - want) < abs(naive - want) / 10, (got, naive, want)
+
+
 def test_scan_ops(rng):
     x = rng.integers(0, 100, (3, 512)).astype(np.int32)
     inc = np.asarray(scan.inclusive_scan(jnp.asarray(x)))
