@@ -210,9 +210,9 @@ class ICPConfig:
             raise ValueError("The sets of representatives cannot have zero points")
         if self.n_r % 4 != 0:
             raise ValueError("n_r must be a multiple of 4")  # ref cpp:845-854
-        if self.normal_mode not in ("auto", "grid", "knn"):
-            raise ValueError(
-                f"normal_mode must be auto|grid|knn, got {self.normal_mode!r}")
+        if self.normal_mode not in ("auto", "grid", "knn", "knn_rbc"):
+            raise ValueError(f"normal_mode must be auto|grid|knn|knn_rbc, "
+                             f"got {self.normal_mode!r}")
         # Default bin capacity: 2x mean occupancy, rounded up to the
         # 128-lane TPU tile (the DATABASE side is the lane dim of the score
         # tensor, so sub-128 sizes just pad back to 128 in VMEM). Overflow

@@ -93,6 +93,40 @@ def graph_from_poses(poses_q, poses_t, edges, meas, weights=None) -> PoseGraph:
                      edge_i, edge_j, meas_q, meas_t, w)
 
 
+def demo_ring_graph(n_nodes: int = 96, n_loops: int = 12, span: int = 24,
+                    radius: float = 400.0, seed: int = 3) -> PoseGraph:
+    """Deterministic loop-closure ring graph (shared test/driver fixture).
+
+    A circle of ``n_nodes`` poses with noisy odometry edges plus
+    ``span``-node loop closures; the initial guess is the odometry chain
+    (drifted). Every consumer that must build the IDENTICAL graph without
+    sharing arrays — e.g. the processes of the multi-process dry run —
+    calls this with the same arguments.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    ts = np.stack([[radius * np.cos(2 * np.pi * i / n_nodes), 0.0,
+                    radius * np.sin(2 * np.pi * i / n_nodes)]
+                   for i in range(n_nodes)]).astype(np.float32)
+    gt = [se3.Pose(jnp.asarray(np.array([0, 0, 0, 1], np.float32)),
+                   jnp.asarray(ts[i])) for i in range(n_nodes)]
+    edges = [(i, i + 1) for i in range(n_nodes - 1)]
+    edges += [(int(i), int(i) + span)
+              for i in rng.integers(0, n_nodes - span - 1, n_loops)]
+    meas = []
+    for (i, j) in edges:
+        xi = np.concatenate([rng.normal(0, 0.5, 3),
+                             0.05 * np.pi / 180 * rng.normal(0, 1, 3)])
+        meas.append(se3.compose(se3.exp(jnp.asarray(xi.astype(np.float32))),
+                                se3.relative(gt[i], gt[j])))
+    init = [se3.Pose.identity()]
+    for k in range(n_nodes - 1):
+        init.append(se3.compose(init[-1], meas[k]))
+    return graph_from_poses([p.q for p in init], [p.t for p in init],
+                            edges, meas)
+
+
 def edge_residual(xi_i, xi_j, pose_i: se3.Pose, pose_j: se3.Pose,
                   meas: se3.Pose) -> jnp.ndarray:
     """Residual of one edge, parameterized by local updates xi around the

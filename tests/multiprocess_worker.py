@@ -6,8 +6,12 @@ the CPU backend (Gloo collectives — the DCN stand-in), builds a global
 process-local data, runs the sharded registration, and prints the resulting
 transform for the parent to compare.
 
-argv: port pid variant n_local_devices n_dp n_mp
+argv: port pid variant n_local_devices n_dp n_mp [with_pg]
   variant: point | plane | gicp (objective/weighting preset).
+  with_pg: "1" additionally runs the edge-sharded pose-graph LM-PCG on the
+    deterministic ring fixture (slam.pose_graph.demo_ring_graph) over the
+    SAME global mesh and prints a RESULT_PG line — the driver dry run's
+    multi-process section consumes it (VERDICT r4 item 5).
 """
 
 import os
@@ -89,6 +93,24 @@ def main():
     k = int(state.k)
     print(f"RESULT {pid} k={k} T=" + ",".join(f"{v:.6f}" for v in T),
           flush=True)
+
+    if len(sys.argv) > 7 and sys.argv[7] == "1":
+        # Pose-graph phase: edges sharded over the dp axis ACROSS the
+        # process boundary; every process holds the identical replicated
+        # graph and prints the identical optimized result.
+        from icp_tpu.slam.pose_graph import (demo_ring_graph, graph_cost,
+                                             make_sharded_optimize_pcg,
+                                             pad_edges)
+
+        graph = demo_ring_graph()
+        n_nodes = int(graph.q.shape[0])
+        run_pg = make_sharded_optimize_pcg(mesh, n_nodes=n_nodes,
+                                           iterations=6, cg_iterations=48)
+        out = jax.block_until_ready(run_pg(pad_edges(graph, n_dp * n_mp)))
+        cost = float(graph_cost(graph._replace(q=out.q, t=out.t)))
+        t_last = np.asarray(jax.device_get(out.t))[n_nodes - 1]
+        print(f"RESULT_PG {pid} cost={cost:.6e} t_last="
+              + ",".join(f"{v:.4f}" for v in t_last), flush=True)
 
 
 if __name__ == "__main__":

@@ -10,7 +10,8 @@ import pytest
 
 from icp_tpu import ICPConfig, ICPParams, Objective, register
 from icp_tpu.icp.quaternion import qangle_deg, qconj, qmul
-from icp_tpu.ops.normals import knn_normals, normals_for
+from icp_tpu.ops.normals import (_smallest_eigvec3, knn_normals,
+                                 knn_normals_rbc, normals_for)
 from tests.test_icp_e2e import _make_pair, _structured_cloud
 
 
@@ -57,6 +58,71 @@ def test_normals_for_modes(rng):
         normals_for(cloud, "grid")
     with pytest.raises(ValueError, match="normal_mode"):
         ICPConfig(normal_mode="pca")
+
+
+def test_smallest_eigvec3_matches_eigh(rng):
+    """The closed-form 3x3 eigensolver (the batched-``eigh`` replacement
+    that makes LiDAR-scale normal estimation cheap) must agree with eigh
+    on realistic PCA covariances, including near-planar ones."""
+    # Random PSD batches with anisotropic spectra like surface patches.
+    A = rng.normal(size=(512, 16, 3)).astype(np.float32)
+    A[:, :, 2] *= 0.05  # thin along z: planar neighborhoods
+    C = np.einsum("bki,bkj->bij", A, A)
+    v_cf = np.asarray(_smallest_eigvec3(jnp.asarray(C)))
+    _, vecs = np.linalg.eigh(C)
+    v_ref = vecs[..., 0]
+    cos = np.abs(np.sum(v_cf * v_ref, axis=-1))
+    assert np.min(cos) > 0.999, float(np.min(cos))
+
+
+def test_knn_rbc_matches_analytic(rng):
+    """The RBC-accelerated estimator holds the brute estimator's bounds on
+    the analytic surface (objective-level equivalence)."""
+    cloud = _structured_cloud(rng, 4096)
+    n_est = np.asarray(knn_normals_rbc(jnp.asarray(cloud), k=16))
+    n_true = _analytic_normals(cloud)
+    cos = np.abs(np.sum(n_est * n_true, axis=-1))
+    assert np.median(cos) > 0.999
+    assert np.mean(cos > 0.99) > 0.95
+    assert np.all(np.sum(n_est * cloud[:, :3], axis=-1) <= 1e-3)
+
+
+def test_knn_rbc_parity_with_brute(rng):
+    """Head-to-head at 16384: the overlapping-ball candidate sets must
+    reproduce the exact-kNN normals almost everywhere (far-tail neighbor
+    swaps move a normal by well under a degree on this surface)."""
+    cloud = _structured_cloud(rng, 16384)
+    n_b = np.asarray(knn_normals(jnp.asarray(cloud), k=16))
+    n_r = np.asarray(knn_normals_rbc(jnp.asarray(cloud), k=16))
+    # Overflowed queries fall back to zero normals; they must be rare.
+    zero = np.linalg.norm(n_r, axis=-1) < 0.5
+    assert np.mean(zero) < 0.02, float(np.mean(zero))
+    cos = np.abs(np.sum(n_b * n_r, axis=-1))[~zero]
+    assert np.mean(cos > 0.999) > 0.97, float(np.mean(cos > 0.999))
+    assert np.median(cos) > 0.9999
+
+
+def test_knn_rbc_invalid_points(rng):
+    cloud = _structured_cloud(rng, 2048)
+    cloud[100:120] = 0.0  # sensor dropouts
+    n = np.asarray(knn_normals_rbc(jnp.asarray(cloud), k=8))
+    assert np.all(n[100:120] == 0.0)
+    valid = np.abs(cloud[:, :3]).sum(-1) > 0
+    nv = n[valid]
+    nz = np.linalg.norm(nv, axis=-1) > 0.5  # overflow slots excepted
+    assert np.all(np.abs(np.linalg.norm(nv[nz], axis=-1) - 1.0) < 1e-3)
+
+
+def test_plane_knn_rbc_registers_unorganized(rng):
+    """PLANE with the RBC normal estimator recovers the truth on an
+    unorganized pair — the LiDAR-scale path end to end."""
+    fixed, moving, q_true, t_true = _make_pair(rng, 4096)
+    config = ICPConfig(m=4096, n_r=64, objective=Objective.PLANE,
+                       normal_mode="knn_rbc", estimate_scale=False)
+    st = register(jnp.asarray(fixed), jnp.asarray(moving),
+                  ICPParams(alpha=2e2).as_f32(), config)
+    assert np.linalg.norm(np.asarray(st.t) - t_true) < 0.5
+    assert float(qangle_deg(qmul(st.q, qconj(jnp.asarray(q_true))))) < 0.05
 
 
 def test_plane_knn_registers_unorganized(rng):
