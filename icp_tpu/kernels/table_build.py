@@ -119,6 +119,113 @@ def bin_table_pallas(sorted_rows: jnp.ndarray, starts: jnp.ndarray, *,
     )(starts, padded)
 
 
+def _windowed_kernel(bb: int, capacity: int, w: int):
+    def kernel(win_ref, starts_ref, a_ref, b_ref, out_ref, scratch_ref):
+        i = pl.program_id(0)
+        base = win_ref[i] * w
+        for j in range(bb):  # static unroll
+            rel = starts_ref[i * bb + j] - base
+            # Fast paths: the bin's slice lies wholly in window A or B.
+            # Crossing bins (one per W boundary at most) go through the
+            # scratch concat. `rel` is guaranteed in [0, 2W - capacity]
+            # by the caller's span check (else it uses the XLA twin).
+            @pl.when(rel + capacity <= w)
+            def _a():
+                out_ref[j] = a_ref[pl.ds(rel, capacity), :]
+
+            @pl.when(rel >= w)
+            def _b():
+                out_ref[j] = b_ref[pl.ds(rel - w, capacity), :]
+
+            @pl.when((rel + capacity > w) & (rel < w))
+            def _cross():
+                scratch_ref[pl.ds(0, w), :] = a_ref[:]
+                scratch_ref[pl.ds(w, w), :] = b_ref[:]
+                out_ref[j] = scratch_ref[pl.ds(rel, capacity), :]
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "bin_batch",
+                                             "window", "interpret"))
+def bin_table_windowed_pallas(sorted_rows: jnp.ndarray, starts: jnp.ndarray,
+                              *, capacity: int, bin_batch: int = 8,
+                              window: int = 0,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Windowed variant of :func:`bin_table_pallas` for LARGE m.
+
+    The full-VMEM kernel needs the whole (m, d) sorted array resident
+    (~134 MB at the 16x shape m=262144 — over any VMEM budget), so big
+    shapes fell back to the XLA row gather: 4.4 ms of the 16x iteration's
+    13.6 (benchmarks/profile_grouping16x.py). Here the rows stream through
+    TWO consecutive (W, d) VMEM windows whose position is chosen per grid
+    step from the scalar-prefetched chunk starts (``win[i] =
+    starts[i*bb] // W``) — offsets are monotone, so each step's bins live
+    at [starts[i*bb], ..+span), and whenever span <= 2W - capacity every
+    slice is a VMEM dynamic slice from window A or B (or, for the <= one
+    boundary-crossing bin per window, from an A||B scratch concat).
+
+    The span bound is data-dependent (bin counts are), so callers MUST
+    check :func:`windowed_span_ok` and route overflowing layouts to the
+    XLA twin (a skewed scene where one chunk swallows > 2W rows would
+    otherwise read clamped garbage). `group_rows_by_bin` does this with a
+    ``lax.cond`` — both paths compile, the check picks per dispatch.
+    """
+    m, d = sorted_rows.shape
+    n_r = starts.shape[0]
+    assert n_r % bin_batch == 0, (n_r, bin_batch)
+    if window == 0:
+        # ~4x the mean chunk span, 8-aligned, at least 2 x capacity.
+        mean_span = bin_batch * max(m // n_r, 1)
+        window = max(((2 * mean_span + 7) // 8) * 8,
+                     ((2 * capacity + 7) // 8) * 8)
+    w = window
+    n_chunks = n_r // bin_batch
+    # Pad rows so window B never overruns: last base <= m, + 2W slack.
+    m_pad = ((m + 2 * w + 7) // 8) * 8
+    padded = jnp.concatenate(
+        [sorted_rows, jnp.zeros((m_pad - m, d), sorted_rows.dtype)], axis=0)
+    win = (starts[:: bin_batch] // w).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((w, d), lambda i, win, st: (win[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, d), lambda i, win, st: (win[i] + 1, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bin_batch, capacity, d),
+                               lambda i, win, st: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2 * w, d), sorted_rows.dtype)],
+    )
+    return pl.pallas_call(
+        _windowed_kernel(bin_batch, capacity, w),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_r, capacity, d),
+                                       sorted_rows.dtype),
+        compiler_params=_kernel_compiler_params(),
+        interpret=interpret,
+    )(win, starts, padded, padded)
+
+
+def windowed_span_ok(starts: jnp.ndarray, counts: jnp.ndarray,
+                     capacity: int, bin_batch: int = 8,
+                     window: int = 0, m: int = 0) -> jnp.ndarray:
+    """Scalar bool: every chunk's span fits the windowed kernel's 2W
+    coverage (see :func:`bin_table_windowed_pallas`). Cheap: O(n_r)."""
+    n_r = starts.shape[0]
+    if window == 0:
+        mean_span = bin_batch * max(m // n_r, 1)
+        window = max(((2 * mean_span + 7) // 8) * 8,
+                     ((2 * capacity + 7) // 8) * 8)
+    base = (starts[:: bin_batch] // window) * window
+    last = starts[bin_batch - 1:: bin_batch]
+    span = last + capacity - base
+    return jnp.max(span) <= 2 * window
+
+
 def bin_table_ref(sorted_rows: jnp.ndarray, starts: jnp.ndarray, *,
                   capacity: int) -> jnp.ndarray:
     """Plain-XLA twin (row gather at arithmetic positions) — the

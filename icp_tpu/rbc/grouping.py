@@ -34,6 +34,11 @@ _DENSE_COUNTS_MAX_OPS = 2 ** 24
 # counts in bin_sort_layout so benchmarks/profile_counts.py can A/B the two.
 _LAYOUT_COUNTS_SORTED = True
 
+# Benchmark-only escape hatch: False disables the windowed table kernel
+# (large-m path) so benchmarks/probe_windowed_ab.py can A/B it against the
+# XLA row gather in one process.
+_WINDOWED_TABLE = True
+
 
 def _counts_dense(bin_ids: jnp.ndarray, n_bins: int) -> jnp.ndarray:
     """Counts via an (n_bins, n) equality reduce — no gathers, no scatter."""
@@ -223,22 +228,41 @@ def group_rows_by_bin(bin_ids: jnp.ndarray, n_bins: int, capacity: int,
                else jnp.concatenate(nonempty, axis=1))
         d_total = big.shape[1]
         sorted_big = jnp.take(big, sidx, axis=0)
+        windowed = False
         if use_pallas:
             from icp_tpu.kernels.table_build import (
                 bin_table_pallas,
+                bin_table_windowed_pallas,
                 table_kernel_fits,
+                windowed_span_ok,
             )
 
             use_pallas = table_kernel_fits(n, n_bins, capacity, d_total)
+            # Beyond the full-VMEM kernel's budget (16x shapes), stream the
+            # sorted rows through the windowed kernel instead — unless this
+            # dispatch's bin-count skew exceeds its 2W coverage, in which
+            # case the cond takes the XLA twin (identical values).
+            windowed = ((not use_pallas) and n_bins % 8 == 0
+                        and _WINDOWED_TABLE)
+
+        def _xla_table(sorted_rows):
+            padded = jnp.concatenate(
+                [sorted_rows, jnp.zeros((capacity, d_total), big.dtype)],
+                axis=0)
+            return jnp.take(padded, flat_pos.reshape(-1), axis=0).reshape(
+                n_bins, capacity, d_total)
+
         if use_pallas:
             table = bin_table_pallas(sorted_big, offsets, capacity=capacity,
                                      interpret=interpret)
+        elif windowed:
+            table = jax.lax.cond(
+                windowed_span_ok(offsets, counts, capacity, m=n),
+                lambda rows: bin_table_windowed_pallas(
+                    rows, offsets, capacity=capacity, interpret=interpret),
+                _xla_table, sorted_big)
         else:
-            padded = jnp.concatenate(
-                [sorted_big, jnp.zeros((capacity, d_total), big.dtype)],
-                axis=0)
-            table = jnp.take(padded, flat_pos.reshape(-1), axis=0).reshape(
-                n_bins, capacity, d_total)
+            table = _xla_table(sorted_big)
     grouped = []
     k = 0
     for rows, d in zip(rows_list, spans):

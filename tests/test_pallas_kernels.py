@@ -84,6 +84,71 @@ def test_bin_table_kernel_bit_exact(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_bin_table_windowed_kernel(rng):
+    """The windowed table kernel (large-m path) must reproduce the XLA
+    gather on every VALID slot, across all three in-kernel branches
+    (window A / window B / boundary-crossing scratch concat), and the
+    span check must route pathologically skewed layouts to the twin."""
+    from icp_tpu.kernels.table_build import (bin_table_ref,
+                                            bin_table_windowed_pallas,
+                                            windowed_span_ok)
+    from icp_tpu.rbc.grouping import bin_sort_layout
+
+    n, n_bins, cap = 4096, 64, 96
+    ids = jnp.asarray(rng.integers(0, n_bins, n).astype(np.int32))
+    rows = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    sidx, counts, offsets, valid = bin_sort_layout(ids, n_bins, cap)
+    sorted_rows = jnp.take(rows, sidx, axis=0)
+    ref = np.asarray(bin_table_ref(sorted_rows, offsets, capacity=cap))
+    # Smaller bin_batch shrinks the auto window, exercising more A/B
+    # transitions and boundary crossings.
+    for bb in (8, 4):
+        assert bool(windowed_span_ok(offsets, counts, cap,
+                                     bin_batch=bb, m=n)), bb
+        got = np.asarray(bin_table_windowed_pallas(
+            sorted_rows, offsets, capacity=cap, bin_batch=bb,
+            interpret=True))
+        v = np.asarray(valid)
+        np.testing.assert_array_equal(got[v], ref[v])
+
+    # Skew guard: every point in one bin -> one chunk's span is ~n, far
+    # over any 2W coverage -> the span check must be False.
+    ids1 = jnp.zeros((n,), jnp.int32)
+    _, c1, o1, _ = bin_sort_layout(ids1, n_bins, cap)
+    assert not bool(windowed_span_ok(o1, c1, cap, m=n))
+
+
+def test_group_rows_by_bin_windowed_cond(rng):
+    """group_rows_by_bin's large-m windowed route (pallas + span cond)
+    must agree with the XLA path on valid slots — including when the skew
+    guard trips and the cond takes the twin."""
+    import jax
+
+    from icp_tpu.rbc.grouping import group_rows_by_bin
+    from icp_tpu.kernels import table_build
+
+    n, n_bins, cap = 4096, 64, 96
+    a = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    # Force the windowed path regardless of m by shrinking the full-VMEM
+    # budget for the duration of the test.
+    old = table_build._TABLE_VMEM_BUDGET
+    table_build._TABLE_VMEM_BUDGET = 0
+    try:
+        for ids_np in (rng.integers(0, n_bins, n),
+                       np.zeros(n)):  # uniform, then fully skewed
+            ids = jnp.asarray(ids_np.astype(np.int32))
+            ref = group_rows_by_bin(ids, n_bins, cap, (a,), use_pallas=False)
+            got = group_rows_by_bin(ids, n_bins, cap, (a,), use_pallas=True,
+                                    interpret=True)
+            v = np.asarray(ref.valid)
+            np.testing.assert_array_equal(np.asarray(got.grouped[0])[v],
+                                          np.asarray(ref.grouped[0])[v])
+            np.testing.assert_array_equal(np.asarray(got.counts),
+                                          np.asarray(ref.counts))
+    finally:
+        table_build._TABLE_VMEM_BUDGET = old
+
+
 def test_group_rows_by_bin_pallas_path(rng):
     """group_rows_by_bin(use_pallas=True) must agree bit-for-bit with the
     XLA path on every grouped array and the layout metadata."""
