@@ -39,6 +39,17 @@ _LAYOUT_COUNTS_SORTED = True
 # XLA row gather in one process.
 _WINDOWED_TABLE = True
 
+# Rows threshold above which group_rows_by_bin sorts the row PAYLOAD along
+# with the key (one variadic sort) instead of key-sort + row-gather
+# permute: the XLA row gather degrades to ~9-11 us per 1k rows at large m
+# (2-5 ms at 262k), while the sort network's payload movement scales with
+# the sort itself. Composed alternating A/B (benchmarks/probe_paysort_ab
+# .py, v5e, median of 5 pairs, every pair consistent): 262144x2048
+# -2.17 ms/iteration (10.3 -> 8.1), 65536x1024 -0.236 (1.71 -> 1.47),
+# 16384x256 -0.010 (within noise, mixed signs -> NOT adopted there per
+# the repo's A/B discipline). Threshold picks the clear winners.
+_PAYLOAD_SORT_MIN_ROWS = 32768
+
 
 def _counts_dense(bin_ids: jnp.ndarray, n_bins: int) -> jnp.ndarray:
     """Counts via an (n_bins, n) equality reduce — no gathers, no scatter."""
@@ -214,20 +225,41 @@ def group_rows_by_bin(bin_ids: jnp.ndarray, n_bins: int, capacity: int,
         copies each bin's contiguous run as one vector slice).
     """
     n = bin_ids.shape[0]
-    sidx, counts, offsets, valid = bin_sort_layout(bin_ids, n_bins, capacity,
-                                                   counts=counts)
+    payload_sort = (n >= _PAYLOAD_SORT_MIN_ROWS
+                    and n_bins * n < 2 ** 31)
 
     # Single concat -> one sorted permute -> one table build for ALL row
     # data, then split back per input array.
     spans = [rows.shape[1] for rows in rows_list]
     nonempty = [rows for rows in rows_list if rows.shape[1] > 0]
-    flat_pos = (offsets[:, None]
-                + jnp.arange(capacity, dtype=jnp.int32)[None, :])
-    if nonempty:
+    if payload_sort and nonempty:
+        # Large-m path: ONE variadic sort moves key + all row columns —
+        # no separate permute gather (see _PAYLOAD_SORT_MIN_ROWS).
         big = (nonempty[0] if len(nonempty) == 1
                else jnp.concatenate(nonempty, axis=1))
         d_total = big.shape[1]
-        sorted_big = jnp.take(big, sidx, axis=0)
+        iota = jnp.arange(n, dtype=jnp.int32)
+        key = bin_ids * jnp.int32(n) + iota
+        outs = jax.lax.sort(
+            (key,) + tuple(big[:, j] for j in range(d_total)), num_keys=1)
+        sorted_big = jnp.stack(outs[1:], axis=1)
+        if counts is None:
+            counts = _counts_from_sorted(outs[0] // n, n_bins)
+        cum = jnp.cumsum(counts)
+        offsets = (cum - counts).astype(jnp.int32)
+        valid = (jnp.arange(capacity, dtype=jnp.int32)[None, :]
+                 < counts[:, None])
+    else:
+        sidx, counts, offsets, valid = bin_sort_layout(
+            bin_ids, n_bins, capacity, counts=counts)
+    flat_pos = (offsets[:, None]
+                + jnp.arange(capacity, dtype=jnp.int32)[None, :])
+    if nonempty:
+        if not payload_sort:
+            big = (nonempty[0] if len(nonempty) == 1
+                   else jnp.concatenate(nonempty, axis=1))
+            d_total = big.shape[1]
+            sorted_big = jnp.take(big, sidx, axis=0)
         windowed = False
         if use_pallas:
             from icp_tpu.kernels.table_build import (

@@ -149,6 +149,30 @@ def test_group_rows_by_bin_windowed_cond(rng):
         table_build._TABLE_VMEM_BUDGET = old
 
 
+def test_group_rows_by_bin_payload_sort(rng):
+    """The large-m payload-sort path (one variadic sort, no permute
+    gather) is bit-identical to the key-sort + take path."""
+    from icp_tpu.rbc import grouping
+
+    n, n_bins, cap = 4096, 64, 96
+    ids = jnp.asarray(rng.integers(0, n_bins, n).astype(np.int32))
+    a = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    ref = grouping.group_rows_by_bin(ids, n_bins, cap, (a, b))
+    old = grouping._PAYLOAD_SORT_MIN_ROWS
+    grouping._PAYLOAD_SORT_MIN_ROWS = 0
+    try:
+        got = grouping.group_rows_by_bin(ids, n_bins, cap, (a, b))
+    finally:
+        grouping._PAYLOAD_SORT_MIN_ROWS = old
+    np.testing.assert_array_equal(np.asarray(got.counts),
+                                  np.asarray(ref.counts))
+    np.testing.assert_array_equal(np.asarray(got.offsets),
+                                  np.asarray(ref.offsets))
+    for g, r in zip(got.grouped, ref.grouped):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
 def test_group_rows_by_bin_pallas_path(rng):
     """group_rows_by_bin(use_pallas=True) must agree bit-for-bit with the
     XLA path on every grouped array and the layout metadata."""
