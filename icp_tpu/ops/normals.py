@@ -133,23 +133,24 @@ def _morton_order(p: jnp.ndarray) -> jnp.ndarray:
     return jnp.argsort(key).astype(jnp.int32)
 
 
-def _smallest_eigvec3(C: jnp.ndarray) -> jnp.ndarray:
-    """Closed-form smallest-eigenvalue eigenvector of symmetric 3x3 batches.
+def _smallest_eigvec3_components(a00, a01, a02, a11, a12, a22):
+    """Closed-form smallest-eigenvalue eigenvector of symmetric 3x3
+    batches, fully COMPONENT-WISE.
 
     Eberly's trigonometric eigenvalue form + cross-product null-space
-    extraction — pure elementwise VPU work, no QR iterations: the batched
-    ``eigh`` this replaces is the only part of kNN normal estimation that
-    does not map to matmuls, and at LiDAR scale (262k neighborhoods) it
-    dominates. Ill-conditioned cases (isotropic scatter, where the normal
-    is meaningless anyway) fall back to +z.
+    extraction — pure elementwise VPU work, no QR iterations. Everything
+    stays in the six scalar component arrays: any (..., 3)/(.., 3, 3)
+    intermediate tiles its minor dim to 128 lanes in HBM, which made the
+    stacked form of this solve cost 29 ms at 262k neighborhoods (268 MB
+    per intermediate); the component form is sub-ms. Ill-conditioned
+    cases (isotropic scatter, where the normal is meaningless anyway)
+    fall back to +z.
 
     Args:
-      C: (..., 3, 3) symmetric positive-semidefinite matrices.
+      a00..a22: (...,) unique components of symmetric PSD matrices.
     Returns:
-      (..., 3) unit eigenvectors of the smallest eigenvalue.
+      (nx, ny, nz) unit eigenvector components of the smallest eigenvalue.
     """
-    a00, a01, a02 = C[..., 0, 0], C[..., 0, 1], C[..., 0, 2]
-    a11, a12, a22 = C[..., 1, 1], C[..., 1, 2], C[..., 2, 2]
     q = (a00 + a11 + a22) / 3.0
     b00, b11, b22 = a00 - q, a11 - q, a22 - q
     p2 = (b00 * b00 + b11 * b11 + b22 * b22
@@ -165,27 +166,42 @@ def _smallest_eigvec3(C: jnp.ndarray) -> jnp.ndarray:
     # the 2pi/3 branch.
     lam = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
 
-    # Null space of M = C - lam I: any two independent rows' cross product.
+    # Null space of M = C - lam I: any two independent rows' cross
+    # product, componentwise (rows r0 = (m00, a01, a02) etc.).
     m00, m11, m22 = a00 - lam, a11 - lam, a22 - lam
-    r0 = jnp.stack([m00, a01, a02], -1)
-    r1 = jnp.stack([a01, m11, a12], -1)
-    r2 = jnp.stack([a02, a12, m22], -1)
-    c01 = jnp.cross(r0, r1)
-    c02 = jnp.cross(r0, r2)
-    c12 = jnp.cross(r1, r2)
-    n01 = jnp.sum(c01 * c01, -1)
-    n02 = jnp.sum(c02 * c02, -1)
-    n12 = jnp.sum(c12 * c12, -1)
-    best = jnp.where((n01 >= n02)[..., None] & (n01 >= n12)[..., None], c01,
-                     jnp.where((n02 >= n12)[..., None], c02, c12))
-    norm2 = jnp.sum(best * best, -1, keepdims=True)
-    # Isotropic / degenerate scatter: all cross products vanish — fall back
-    # to +z (callers orient and the normal carries no information anyway).
-    fallback = jnp.broadcast_to(
-        jnp.asarray([0.0, 0.0, 1.0], C.dtype), best.shape)
+    c01 = (a01 * a12 - a02 * m11,
+           a02 * a01 - m00 * a12,
+           m00 * m11 - a01 * a01)
+    c02 = (a01 * m22 - a02 * a12,
+           a02 * a02 - m00 * m22,
+           m00 * a12 - a01 * a02)
+    c12 = (m11 * m22 - a12 * a12,
+           a12 * a02 - a01 * m22,
+           a01 * a12 - m11 * a02)
+    n01 = c01[0] * c01[0] + c01[1] * c01[1] + c01[2] * c01[2]
+    n02 = c02[0] * c02[0] + c02[1] * c02[1] + c02[2] * c02[2]
+    n12 = c12[0] * c12[0] + c12[1] * c12[1] + c12[2] * c12[2]
+    pick01 = (n01 >= n02) & (n01 >= n12)
+    pick02 = n02 >= n12
+    best = tuple(jnp.where(pick01, x01, jnp.where(pick02, x02, x12))
+                 for x01, x02, x12 in zip(c01, c02, c12))
+    norm2 = best[0] * best[0] + best[1] * best[1] + best[2] * best[2]
+    # Isotropic / degenerate scatter: all cross products vanish — fall
+    # back to +z (callers orient; the normal carries no information).
     ok = norm2 > 1e-20
-    best = jnp.where(ok, best, fallback)
-    return best / jnp.sqrt(jnp.where(ok, norm2, 1.0))
+    inv = 1.0 / jnp.sqrt(jnp.where(ok, norm2, 1.0))
+    return (jnp.where(ok, best[0] * inv, 0.0),
+            jnp.where(ok, best[1] * inv, 0.0),
+            jnp.where(ok, best[2] * inv, 1.0))
+
+
+def _smallest_eigvec3(C: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, 3) symmetric PSD -> (..., 3) smallest-eigenvalue unit
+    eigenvectors (stacked convenience wrapper over the component core)."""
+    nx, ny, nz = _smallest_eigvec3_components(
+        C[..., 0, 0], C[..., 0, 1], C[..., 0, 2],
+        C[..., 1, 1], C[..., 1, 2], C[..., 2, 2])
+    return jnp.stack([nx, ny, nz], -1)
 
 
 @functools.partial(jax.jit,
@@ -209,7 +225,8 @@ def knn_normals_rbc(points8: jnp.ndarray, k: int = 16, n_r: int = 0,
          its boundary-crossing neighbors (the classic RBC one-bin recall
          fix, on the DB side where it costs capacity, not query latency);
       3. queries group by their single nearest rep (rbc.grouping — one
-         sort, no scatters);
+         sort, no scatters). Queries and database are the SAME cloud, so
+         the first-choice grouping is built once and serves both sides;
       4. per bin: (cq, cb) distances, the k-th smallest distance per query
          via ``top_k`` VALUES (no index gathers), then the kNN covariance
          as two masked MXU matmuls — C = W b b^T - (W b)(W b)^T / k with
@@ -243,7 +260,6 @@ def knn_normals_rbc(points8: jnp.ndarray, k: int = 16, n_r: int = 0,
         n_r = max(64, 1 << max(0, (m // 128 - 1).bit_length()))
     n_r = min(n_r, m)
     valid = jnp.sum(jnp.abs(p), axis=-1) > 0
-    validf = valid.astype(p.dtype)
 
     # 1. Representatives: spatially STRATIFIED sample — a strided walk of
     # the Morton (z-order) sort, i.e. approximately equal-mass cells. An
@@ -262,78 +278,136 @@ def knn_normals_rbc(points8: jnp.ndarray, k: int = 16, n_r: int = 0,
     padq = (-m) % block
     p_q = jnp.concatenate([p, jnp.zeros((padq, 3), p.dtype)]) if padq else p
 
-    def strip(q):
+    from icp_tpu.kernels.knn_moments import rep_top2_counts_pallas
+
+    if (jax.default_backend() == "tpu" and multi_assign == 2
+            and m % 512 == 0):
+        # VMEM-resident top-2 + counts kernel: the XLA strip formulation
+        # below round-trips the (block, n_r) score strip through HBM per
+        # masked-argmin pass (~9 ms at 262144x2048).
+        i1, i2, counts = rep_top2_counts_pallas(p, reps)
+        rep_ids = jnp.stack([i1, i2], -1)
+        return _knn_rbc_tail(points8, p, valid, rep_ids, counts, reps,
+                             n_r, m, k, multi_assign, chunk)
+
+    bin_iota = jnp.arange(n_r, dtype=jnp.int32)[None, :]
+    # Strip-padding rows must not enter the counts (they are dropped from
+    # the grouping keys, and given counts must match those EXACTLY).
+    rowmask = (jnp.arange(m + padq, dtype=jnp.int32) < m).astype(jnp.int32)
+
+    def strip(args):
+        q, vm = args
+        # Successive masked argmins, NOT top_k: top_k(2) over n_r costs
+        # 38.5 ms at 262144x2048 on a v5e (sorting-network lowering);
+        # multi_assign fused argmin passes cost ~the score matmul.
+        # Per-choice bin COUNTS accumulate for free against the resident
+        # score strip — grouping with given counts skips its searchsorted
+        # over the sorted keys, which degrades to ~25 ms at this m (same
+        # trick as the ICP pipeline's rep_assign_counts kernel).
         d = (jnp.sum(q * q, -1)[:, None]
              - 2.0 * jnp.dot(q, reps.T, precision=hi) + sq_r[None, :])
-        _, idx = jax.lax.top_k(-d, multi_assign)
-        return idx.astype(jnp.int32)
+        ids, cts = [], []
+        for _ in range(multi_assign):
+            i = jnp.argmin(d, axis=-1).astype(jnp.int32)
+            ids.append(i)
+            cts.append(jnp.sum((bin_iota == i[:, None]).astype(jnp.int32)
+                               * vm[:, None], axis=0))
+            m1 = jnp.min(d, axis=-1, keepdims=True)
+            # Mask ALL occurrences of the min (float ties ~ never matter
+            # for candidate-bin choice).
+            d = jnp.where(d <= m1, jnp.inf, d)
+        return jnp.stack(ids, -1), jnp.stack(cts, 0)
 
-    rep_ids = jax.lax.map(strip, p_q.reshape(-1, block, 3))
+    rep_ids, strip_counts = jax.lax.map(
+        strip, (p_q.reshape(-1, block, 3), rowmask.reshape(-1, block)))
     rep_ids = rep_ids.reshape(-1, multi_assign)[:m]  # (m, a)
+    counts = jnp.sum(strip_counts, axis=0)  # (a, n_r) exact per-choice
+    return _knn_rbc_tail(points8, p, valid, rep_ids, counts, reps, n_r, m,
+                         k, multi_assign, chunk)
+
+
+def _knn_rbc_tail(points8, p, valid, rep_ids, counts, reps, n_r: int,
+                  m: int, k: int, multi_assign: int,
+                  chunk: int) -> jnp.ndarray:
+    """Grouping + per-bin covariances + eig + scatter (shared by the
+    Pallas-assign and XLA-strip front halves of :func:`knn_normals_rbc`)."""
+    import jax
+
+    from icp_tpu.rbc.grouping import group_rows_by_bin
 
     mean_occ = m // n_r
-    # 2. Database bins: multi-assigned, capacity 2x the multi-assigned mean.
-    cb = max(((2 * multi_assign * mean_occ + 127) // 128) * 128, 128)
-    db_ids = rep_ids.T.reshape(-1)  # (a*m,) — column-major: all 1st choices
-    db_rows = jnp.concatenate([p, validf[:, None]], axis=1)
-    db_rows = jnp.tile(db_rows, (multi_assign, 1))
-    # Invalid points: bin id n_r sorts past every real bin — searchsorted
-    # counts for bins 0..n_r-1 are unaffected except the LAST bin, whose
-    # count would swallow the tail; mask via the validity payload instead
-    # (slots of invalid points keep validf = 0 and drop out of W below).
-    dbg = group_rows_by_bin(db_ids, n_r, cb, (db_rows,))
-    bins = dbg.grouped[0][..., :3]                      # (n_r, cb, 3)
-    bvalid = dbg.valid & (dbg.grouped[0][..., 3] > 0.5)  # slot & point valid
+    # 2+3. ONE first-choice grouping serves BOTH sides: queries and
+    # database are the same cloud, so its table IS the query set AND the
+    # first half of every bin's candidates; only the extra assignments
+    # (boundary coverage) need their own groupings. This removes a third
+    # of the sort/table work vs separate query + 2x-multi-assigned-db
+    # groupings. Invalid points are NaN-encoded (they fall out of every
+    # neighborhood via the kernel's isfinite masking) instead of carrying
+    # a validity payload column. Capacity 1.5x mean per choice (~0.7%
+    # overflow with stratified reps — the occupancy probe above);
+    # overflowed queries get zero normals (= no plane constraint, bounded
+    # <2% by the parity test) and the moment kernel's cost is linear in
+    # this capacity on BOTH axes.
+    cq = max(((3 * mean_occ // 2 + 7) // 8) * 8, 16)
+    use_pallas = jax.default_backend() == "tpu"
+    p_nan = jnp.where(valid[:, None], p, jnp.nan)
+    g1 = group_rows_by_bin(
+        rep_ids[:, 0], n_r, cq,
+        (jnp.concatenate([p_nan, jnp.arange(m, dtype=p.dtype)[:, None]],
+                         axis=1),),
+        counts=counts[0], use_pallas=use_pallas)
+    qp = g1.grouped[0][..., :3]                       # (n_r, cq, 3)
+    # ids ride as a float payload (exact to 2^24 — 16.7M points, far
+    # beyond any single sweep).
+    qid = g1.grouped[0][..., 3].astype(jnp.int32)
+    qvalid = g1.valid & jnp.isfinite(qp[..., 0])
 
-    # 3. Queries: grouped by FIRST choice; ids ride as a float payload
-    # (exact to 2^24 — 16.7M points, far beyond any single sweep).
-    # 2x mean capacity: ~0.1% overflow with stratified reps (see above);
-    # overflowed queries get zero normals (= no plane constraint).
-    cq = max(((2 * mean_occ + 7) // 8) * 8, 16)
-    q_rows = jnp.concatenate(
-        [p, jnp.arange(m, dtype=p.dtype)[:, None], validf[:, None]], axis=1)
-    qg = group_rows_by_bin(rep_ids[:, 0], n_r, cq, (q_rows,))
-    qp = qg.grouped[0][..., :3]                       # (n_r, cq, 3)
-    qid = qg.grouped[0][..., 3].astype(jnp.int32)
-    qvalid = qg.valid & (qg.grouped[0][..., 4] > 0.5)
+    parts, vparts = [qp], [g1.valid]
+    for j in range(1, multi_assign):
+        gj = group_rows_by_bin(rep_ids[:, j], n_r, cq, (p_nan,),
+                               counts=counts[j], use_pallas=use_pallas)
+        parts.append(gj.grouped[0])
+        vparts.append(gj.valid)
+    bins = jnp.concatenate(parts, axis=1)         # (n_r, a*cq, 3)
+    slot_valid = jnp.concatenate(vparts, axis=1)
 
-    sq_b = jnp.where(bvalid, jnp.sum(bins * bins, -1), jnp.inf)
-    b9 = (bins[..., :, None] * bins[..., None, :]).reshape(n_r, -1, 9)
+    # 4. Per-bin kNN covariances: one fused Pallas pass on TPU (d2 stays
+    # VMEM-resident; rep-centering — which kills the f32 cancellation of
+    # raw z~1.5e3 coordinates in the covariance — happens IN-kernel; the
+    # k-th distance comes from a value bisection, not top_k —
+    # kernels/knn_moments.py has the numbers), identical-math XLA twin
+    # elsewhere.
+    from icp_tpu.kernels.knn_moments import (bin_knn_moments_pallas,
+                                             bin_knn_moments_ref,
+                                             knn_kernel_fits)
 
-    n_chunks = max(n_r // chunk, 1)
-    csz = n_r // n_chunks
-
-    def bin_chunk(args):
-        qpc, bc, sqbc, b9c = args  # (csz, cq|cb, ...)
-        d2 = (jnp.sum(qpc * qpc, -1)[..., None]
-              - 2.0 * jnp.einsum("bqd,bcd->bqc", qpc, bc, precision=hi)
-              + sqbc[:, None, :])
-        # k-th smallest distance per query (values only, no index gather).
-        kth = -jax.lax.top_k(-d2, k)[0][..., -1:]
-        # isfinite guard: with < k valid candidates kth is +inf, and
-        # inf <= inf would admit garbage padding slots into W.
-        W = ((d2 <= kth) & jnp.isfinite(d2)).astype(qpc.dtype)
-        cnt = jnp.maximum(jnp.sum(W, -1, keepdims=True), 1.0)
-        S1 = jnp.einsum("bqc,bcd->bqd", W, bc, precision=hi)
-        M2 = jnp.einsum("bqc,bcn->bqn", W, b9c,
-                        precision=hi).reshape(*W.shape[:2], 3, 3)
-        C = M2 - (S1[..., :, None] * S1[..., None, :]) / cnt[..., None]
-        n = _smallest_eigvec3(C)
-        # Orient toward the sensor origin: n . p < 0.
-        return n * jnp.where(
-            jnp.sum(n * qpc, -1, keepdims=True) > 0, -1.0, 1.0)
-
-    nrm = jax.lax.map(bin_chunk,
-                      (qp.reshape(n_chunks, csz, cq, 3),
-                       bins.reshape(n_chunks, csz, -1, 3),
-                       sq_b.reshape(n_chunks, csz, -1),
-                       b9.reshape(n_chunks, csz, -1, 9)))
-    nrm = nrm.reshape(n_r, cq, 3)
+    use_pallas = (jax.default_backend() == "tpu"
+                  and knn_kernel_fits(n_r, cq, bins.shape[1]))
+    if use_pallas:
+        comps, _cnt = bin_knn_moments_pallas(qp, bins, reps, slot_valid,
+                                             k=k)
+    else:
+        comps, _cnt = bin_knn_moments_ref(qp, bins, reps, slot_valid,
+                                          k=k, chunk=chunk)
+    nx, ny, nz = _smallest_eigvec3_components(*comps)
+    # Orient toward the sensor origin (n . p < 0) — against the RAW
+    # (uncentered) query coordinates.
+    ip = nx * qp[..., 0] + ny * qp[..., 1] + nz * qp[..., 2]
+    sgn = jnp.where(ip > 0, -1.0, 1.0)
 
     # 5. Scatter back to original order; invalid/overflow slots drop.
-    out = jnp.zeros((m, 3), p.dtype)
-    tgt = jnp.where(qvalid, qid, m)  # out-of-range -> dropped
-    out = out.at[tgt.reshape(-1)].set(nrm.reshape(-1, 3), mode="drop")
+    # Three 1-D component scatters, not one (slots, 3) row scatter — a
+    # row scatter's 3-lane rows tile to 128 lanes of physical traffic.
+    # Valid targets are distinct by construction (each query holds one
+    # slot), so unique_indices skips the collision-ordering machinery;
+    # dropped slots get distinct out-of-range ids to keep that promise.
+    slot = jnp.arange(n_r * cq, dtype=jnp.int32).reshape(n_r, cq)
+    tgt = jnp.where(qvalid, qid, m + slot).reshape(-1)
+    cols = []
+    for comp in (nx * sgn, ny * sgn, nz * sgn):
+        cols.append(jnp.zeros((m,), p.dtype).at[tgt].set(
+            comp.reshape(-1), mode="drop", unique_indices=True))
+    out = jnp.stack(cols, -1)
     return jnp.where(valid[:, None], out, 0.0)
 
 

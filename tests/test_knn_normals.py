@@ -113,6 +113,67 @@ def test_knn_rbc_invalid_points(rng):
     assert np.all(np.abs(np.linalg.norm(nv[nz], axis=-1) - 1.0) < 1e-3)
 
 
+def test_knn_moments_kernel_parity(rng):
+    """Interpret-mode parity: the fused kNN-moments Pallas kernel must
+    match its XLA twin (identical math by construction) on covariances
+    and neighbor counts, including underfull and invalid-slot bins."""
+    import jax.numpy as jnp
+
+    from icp_tpu.kernels.knn_moments import (bin_knn_moments_pallas,
+                                             bin_knn_moments_ref)
+
+    n_r, cq, cb, k = 8, 16, 128, 12
+    reps = rng.normal(size=(n_r, 3)).astype(np.float32) * 100
+    qp = reps[:, None, :] + rng.normal(
+        size=(n_r, cq, 3)).astype(np.float32) * 40
+    bins = reps[:, None, :] + rng.normal(
+        size=(n_r, cb, 3)).astype(np.float32) * 40
+    # Invalidate a varying tail per bin (some bins underfull vs k), plus
+    # a few NaN-encoded invalid points inside the valid span.
+    bvalid = np.ones((n_r, cb), bool)
+    for r in range(n_r):
+        n_valid = int(rng.integers(4, cb))
+        bvalid[r, n_valid:] = False
+    bins[2, 1] = np.nan
+    args = tuple(map(jnp.asarray, (qp, bins, reps, bvalid)))
+    C_ref, cnt_ref = bin_knn_moments_ref(*args, k=k)
+    C_pl, cnt_pl = bin_knn_moments_pallas(*args, k=k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(cnt_pl), np.asarray(cnt_ref))
+    for c_pl, c_ref in zip(C_pl, C_ref):
+        np.testing.assert_allclose(np.asarray(c_pl), np.asarray(c_ref),
+                                   rtol=1e-5, atol=1e-2)
+        assert np.all(np.isfinite(np.asarray(c_pl)))
+    # Counts ~= k where the bin has >= k valid candidates (bisection can
+    # include a tie-few extra, never fewer).
+    nv = (bvalid & np.isfinite(bins).all(-1)).sum(-1)
+    full = nv >= k
+    assert np.all(np.asarray(cnt_ref)[full] >= k)
+    assert np.all(np.asarray(cnt_ref)[full] <= k + 2)
+    assert np.all(np.asarray(cnt_ref)[~full]
+                  == np.maximum(nv[~full], 1)[:, None])
+
+
+def test_rep_top2_kernel_parity(rng):
+    """Interpret-mode parity of the VMEM top-2 assignment kernel against
+    a numpy reference: first/second nearest rep ids + per-choice counts."""
+    from icp_tpu.kernels.knn_moments import rep_top2_counts_pallas
+
+    m, n_r = 2048, 64
+    p = rng.normal(size=(m, 3)).astype(np.float32) * 100
+    reps = p[rng.choice(m, n_r, replace=False)]
+    i1, i2, counts = rep_top2_counts_pallas(
+        jnp.asarray(p), jnp.asarray(reps), block_m=512, interpret=True)
+    d = ((p ** 2).sum(1)[:, None] - 2 * p @ reps.T
+         + (reps ** 2).sum(1)[None, :])
+    order = np.argsort(d, axis=1)
+    np.testing.assert_array_equal(np.asarray(i1), order[:, 0])
+    np.testing.assert_array_equal(np.asarray(i2), order[:, 1])
+    np.testing.assert_array_equal(
+        np.asarray(counts[0]), np.bincount(order[:, 0], minlength=n_r))
+    np.testing.assert_array_equal(
+        np.asarray(counts[1]), np.bincount(order[:, 1], minlength=n_r))
+
+
 def test_plane_knn_rbc_registers_unorganized(rng):
     """PLANE with the RBC normal estimator recovers the truth on an
     unorganized pair — the LiDAR-scale path end to end."""
