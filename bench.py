@@ -201,6 +201,128 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 - record, never abort bench
         four_x["icp_4x_error"] = " ".join(str(e).split())[:300]
 
+    # Scaled-shape ACCURACY gates (VERDICT r4 item 3): the 4x/16x latency
+    # captures ride the same bench run as a ground-truth registration at
+    # the same shape — two INDEPENDENT samplings of an analytic surface
+    # (approximate correspondences, a real registration problem) under a
+    # known rigid transform. The registration reuses the warmed perf
+    # program (same static config; thresholds are dynamic, so it converges
+    # naturally within the K=40 budget — zero extra compiles). Bounds from
+    # benchmarks/probe_16x.py on the v5e.
+    from icp_tpu.sensors.synthetic import wavy_surface_pair
+
+    def scale_gate(name, ctx, m):
+        if not ctx:
+            return
+        try:
+            wf, wm, q_gt, t_gt = wavy_surface_pair(m)
+            st = jax.block_until_ready(register(
+                jnp.asarray(wf), jnp.asarray(wm), acc_params,
+                ctx["configs"][ITERS_HI]))
+            t_err = float(jnp.linalg.norm(st.t - jnp.asarray(t_gt)))
+            a_err = float(qangle_deg(qmul(st.q, qconj(jnp.asarray(q_gt)))))
+            gates[name] = {"ok": bool(t_err < 1.0 and a_err < 0.05),
+                           "t_err": t_err, "a_err": a_err, "k": int(st.k)}
+        except Exception as e:  # noqa: BLE001 - record, never abort bench
+            gates[name] = {"ok": False, "t_err": float("nan"),
+                           "a_err": float("nan"),
+                           "error": " ".join(str(e).split())[:300]}
+
+    scale_gate("icp_4x", ctx4, 65536)
+    measure_block()
+    measure_block4()
+
+    # 16x workload (m=262144 landmarks, n_r=2048 representatives, VERDICT
+    # r4 item 1): the first shape where the chip does real per-iteration
+    # work (~6 GFLOP/iteration vs the flagship's 0.17) — the reference
+    # cannot run it at all (its m is hard-capped at 16384,
+    # src/ICP/algorithms.cpp:666). Same marginal differencing; fewer
+    # rounds (each timed call is ~0.3 s at K=40).
+    best16 = {ITERS_HI: float("inf"), ITERS_LO: float("inf")}
+    sixteen_x: dict[str, float | str] = {}
+    ctx16: dict = {}
+
+    def measure_block16(rounds: int = 2) -> None:
+        """Safe anywhere: no-op once the 16x path has recorded an error."""
+        if sixteen_x or not ctx16:
+            return
+        try:
+            for _ in range(rounds):
+                for k in (ITERS_HI, ITERS_LO):
+                    t0 = time.perf_counter()
+                    out = register(ctx16["fixed"], ctx16["moving"], params,
+                                   ctx16["configs"][k])
+                    assert int(out.k) == k
+                    best16[k] = min(best16[k], time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001 - record, never abort bench
+            sixteen_x["icp_16x_error"] = " ".join(str(e).split())[:300]
+
+    try:
+        fixed16_np, moving16_np = _synthetic_pair(262144, seed=2)
+        ctx16 = {"fixed": jnp.asarray(fixed16_np),
+                 "moving": jnp.asarray(moving16_np),
+                 "configs": {k: _C(m=262144, n_r=2048, max_iterations=k)
+                             for k in (ITERS_HI, ITERS_LO)}}
+        for k in (ITERS_HI, ITERS_LO):
+            st16 = jax.block_until_ready(
+                register(ctx16["fixed"], ctx16["moving"], params,
+                         ctx16["configs"][k]))
+            assert int(st16.k) == k, (int(st16.k), k)
+        measure_block16()
+    except Exception as e:  # noqa: BLE001 - record, never abort bench
+        sixteen_x["icp_16x_error"] = " ".join(str(e).split())[:300]
+
+    scale_gate("icp_16x", ctx16, 262144)
+
+    # LiDAR-scale unorganized gate (VERDICT r4 item 2): PLANE registration
+    # at m=262144 with normals from RBC-accelerated geometric kNN PCA
+    # (normal_mode="knn" routes to ops.normals.knn_normals_rbc above 16384
+    # points — the path that kills the O(m^2) brute kNN the round-4 review
+    # flagged). The same ground-truth pair as the 16x gate, treated as an
+    # unorganized sweep; plus the marginal on-chip latency of the normals
+    # stage itself (fori_loop differencing — the estimator output feeds
+    # back into its input so XLA cannot hoist the loop-invariant call).
+    try:
+        from functools import partial as _partial
+
+        from icp_tpu.ops.normals import knn_normals_rbc
+
+        wf16, wm16, q16, t16 = wavy_surface_pair(262144)
+        cfg_lidar = _C(m=262144, n_r=2048, estimate_scale=False,
+                       objective=Objective.PLANE, normal_mode="knn")
+        stl = jax.block_until_ready(register(
+            jnp.asarray(wf16), jnp.asarray(wm16), acc_params, cfg_lidar))
+        l_t = float(jnp.linalg.norm(stl.t - jnp.asarray(t16)))
+        l_a = float(qangle_deg(qmul(stl.q, qconj(jnp.asarray(q16)))))
+        gates["lidar"] = {"ok": bool(l_t < 1.0 and l_a < 0.05),
+                          "t_err": l_t, "a_err": l_a, "k": int(stl.k)}
+
+        pts16 = jnp.asarray(wf16)
+
+        @_partial(jax.jit, static_argnames=("n",))
+        def knn_loop(p, n):
+            def body(i, p):
+                nrm = knn_normals_rbc(p)
+                return p.at[:, :3].add(nrm * 1e-20)
+            return jax.lax.fori_loop(0, n, body, p)
+
+        def knn_time(n):
+            jax.block_until_ready(knn_loop(pts16, n))  # compile
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(knn_loop(pts16, n))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_hi_n, t_lo_n = knn_time(10), knn_time(2)
+        sixteen_x["knn_normals_ms_262144"] = round(
+            (t_hi_n - t_lo_n) / 8 * 1e3, 3)
+    except Exception as e:  # noqa: BLE001 - record, never abort bench
+        gates["lidar"] = {"ok": False, "t_err": float("nan"),
+                          "a_err": float("nan"),
+                          "error": " ".join(str(e).split())[:300]}
+
     # Pyramid gate: coarse-to-fine from a LARGE offset (outside the
     # single-level basin for fast motion) must still land on the truth.
     q_big = np.array([0, np.sin(0.03), 0, np.cos(0.03)], np.float32)
@@ -226,6 +348,7 @@ def main() -> None:
 
     measure_block()
     measure_block4()
+    measure_block16()
     # Wall gate: the reference's photometric-DECISIVE validation regime
     # (kg_pc8d_wall, reference data/README.md — "shrinking alpha degrades
     # it") on a real photograph texture: frontal wall, in-plane motion
@@ -307,6 +430,7 @@ def main() -> None:
         jax.block_until_ready(lms)
         measure_block()
         measure_block4()
+        measure_block16()
 
         # GICP per frame: the objective shoot-out on this exact sequence
         # (benchmarks/probe_real_sequence.py, v5e) measured ATE/RPE10 of
@@ -348,34 +472,163 @@ def main() -> None:
         path = sum(float(np.linalg.norm(np.asarray(gt[i + 1].t)
                                         - np.asarray(gt[i].t)))
                    for i in range(n_frames - 1))
-        # Real-terrain bounds: BENCH_r03's synthetic bounds were 20/5 at a
-        # measured ATE of 9.2 mm; real geometry adds occlusion holes and
-        # resampling noise per frame, so the gate allows 30/6 over the
-        # same 293 mm path (GICP measures 17.1/4.5 on this sequence —
-        # probe_real_sequence.py).
-        gates["sequence"] = {"ok": bool(ate < 30.0 and rpe_t < 6.0),
+        # Real-terrain bounds, TIGHTENED round 5 (VERDICT r4 item 6):
+        # GICP measures 17.1/4.5 on this sequence (probe_real_sequence.py,
+        # reconfirmed each round); 22/5.5 locks the measured margin in
+        # instead of round 4's generous 30/6.
+        gates["sequence"] = {"ok": bool(ate < 22.0 and rpe_t < 5.5),
                              "t_err": ate, "a_err": _rpe_r}
         seq = {"odometry_ate_mm_100f": round(ate, 3),
                "odometry_rpe10_mm": round(rpe_t, 3),
                "odometry_path_mm": round(path, 1),
                "odometry_frames_per_s": round(fps, 1)}
+
+        # Second trajectory (same VERDICT item): a rotation-heavy arc
+        # (0.5 rad of yaw over the path vs the first trajectory's 0.12 —
+        # per-frame rotation dominates translation), so the sequence gate
+        # and its mi=8 iteration budget are exercised on a motion profile
+        # they were NOT tuned on. Same surface, same compiled chain
+        # (identical shapes/config — zero extra compiles beyond render).
+        poses_b = synthetic.orbit_trajectory(n_frames, radius_mm=60.0,
+                                             yaw_rad=0.5)
+        lms_b = jnp.stack([
+            get_landmarks(jnp.asarray(frame.reshape(-1, 8)))
+            for frame in realdata.terrain_frames(
+                ((np.asarray(p.q), np.asarray(p.t)) for p in poses_b),
+                surface=surface)])
+        _, wq_b, wt_b = run_chain(lms_b)
+        est_b = [Pose(np.asarray(wq_b[i]), np.asarray(wt_b[i]))
+                 for i in range(n_frames)]
+        gt_b = [se3.relative(poses_b[0], p) for p in poses_b]
+        ate_b = absolute_trajectory_error(est_b, gt_b)
+        rpe_b, _ = relative_pose_error(est_b, gt_b, delta=10)
+        gates["sequence_rot"] = {"ok": bool(ate_b < 22.0 and rpe_b < 5.5),
+                                 "t_err": ate_b, "a_err": rpe_b}
+        seq["odometry_rot_ate_mm_100f"] = round(ate_b, 3)
+        seq["odometry_rot_rpe10_mm"] = round(rpe_b, 3)
     except Exception as e:  # noqa: BLE001 - record, never abort bench
         gates["sequence"] = {"ok": False, "t_err": float("nan"),
                              "a_err": float("nan"),
                              "error": " ".join(str(e).split())[:300]}
 
-    # Two more spread-out blocks; ~10 s apart, widening the sampled drift
-    # horizon to the whole bench runtime (4x blocks interleaved the same).
     measure_block()
     measure_block4()
+    # SLAM capstone gate (VERDICT r4 item 4): a closed-loop trajectory over
+    # the SAME real-terrain surface driven through SlamEngine ON THE CHIP —
+    # per-frame odometry, grid-gated loop-closure detection, batched
+    # verification, and the pose-graph backend. Emits closure
+    # precision/recall vs the known poses and keyframe ATE before/after
+    # optimize_map (the backend must close the accumulated drift).
+    # 200 keyframes at m=4096 (organized 64x64 sub-grid per frame keeps
+    # GICP's grid normals meaningful at reduced m; calibrated in
+    # benchmarks/probe_slam_chip.py).
+    slam: dict[str, float | str] = {}
+    try:
+        from icp_tpu.slam.mapping import LoopClosureConfig, SlamEngine
+        from icp_tpu.slam.odometry import KeyframePolicy
+
+        n_slam, m_slam = 200, 4096
+        slam_poses = []
+        for i in range(n_slam):
+            a = 2 * np.pi * i / n_slam
+            slam_poses.append((np.array([0, 0, 0, 1], np.float32),
+                               np.array([120.0 * np.cos(a) - 120.0,
+                                         120.0 * np.sin(a), 0.0],
+                                        np.float32)))
+        stride = 128 // int(m_slam ** 0.5)
+
+        def subgrid(frame):
+            lm = get_landmarks(jnp.asarray(frame.reshape(-1, 8)))
+            return lm.reshape(128, 128, 8)[::stride, ::stride].reshape(
+                m_slam, 8)
+
+        slam_frames = [subgrid(f) for f in realdata.terrain_frames(
+            iter(slam_poses), surface=surface)]
+        eng = SlamEngine(
+            params=ICPParams(alpha=2e2),
+            config=ICPConfig(m=m_slam, n_r=128, estimate_scale=False,
+                             objective=Objective.GICP, max_iterations=8),
+            policy=KeyframePolicy(max_gap=1),
+            loop_config=LoopClosureConfig(max_distance=60.0,
+                                          max_angle_deg=20.0, min_gap=50),
+        )
+        t0 = time.perf_counter()
+        for fr in slam_frames:
+            eng.process_frame(fr)
+        t_frames = time.perf_counter() - t0
+
+        ts_gt = np.stack([t for _, t in slam_poses])
+        closure_set = set(eng.map.loop_closures)
+        correct = 0
+        for (ci, cj), meas in zip(eng.map.edges, eng.map.measurements):
+            if (ci, cj) not in closure_set:
+                continue
+            gi = eng.map.keyframes[ci].index
+            gj = eng.map.keyframes[cj].index
+            gt_rel = se3.relative(
+                se3.Pose(jnp.asarray(slam_poses[gi][0]),
+                         jnp.asarray(slam_poses[gi][1])),
+                se3.Pose(jnp.asarray(slam_poses[gj][0]),
+                         jnp.asarray(slam_poses[gj][1])))
+            if (float(jnp.linalg.norm(meas.t - gt_rel.t)) < 6.0
+                    and float(qangle_deg(qmul(meas.q,
+                                              qconj(gt_rel.q)))) < 1.5):
+                correct += 1
+        precision = correct / max(len(eng.map.loop_closures), 1)
+        true_pairs = {(i, j) for j in range(n_slam)
+                      for i in range(j - eng.loop_config.min_gap)
+                      if np.linalg.norm(ts_gt[j] - ts_gt[i]) < 20.0}
+        kf_pairs = {(eng.map.keyframes[i].index,
+                     eng.map.keyframes[j].index)
+                    for (i, j) in eng.map.loop_closures}
+        recall = (sum(1 for p_ in true_pairs if p_ in kf_pairs)
+                  / max(len(true_pairs), 1))
+
+        def kf_ate():
+            errs = [np.linalg.norm(np.asarray(kf.pose.t)
+                                   - (ts_gt[kf.index] - ts_gt[0]))
+                    for kf in eng.map.keyframes]
+            return float(np.sqrt(np.mean(np.square(errs))))
+
+        ate_before = kf_ate()
+        eng.optimize_map(iterations=10)
+        ate_after = kf_ate()
+        gates["slam"] = {"ok": bool(precision >= 0.9 and recall >= 0.8
+                                    and ate_after < 10.0
+                                    and ate_after < ate_before),
+                         "t_err": ate_after, "a_err": ate_before}
+        slam = {"slam_keyframes": len(eng.map.keyframes),
+                "slam_closures": len(eng.map.loop_closures),
+                "slam_closure_precision": round(precision, 4),
+                "slam_closure_recall": round(recall, 4),
+                "slam_ate_before_mm": round(ate_before, 3),
+                "slam_ate_after_mm": round(ate_after, 3),
+                "slam_frames_per_s": round(n_slam / max(t_frames, 1e-9), 1)}
+    except Exception as e:  # noqa: BLE001 - record, never abort bench
+        gates["slam"] = {"ok": False, "t_err": float("nan"),
+                         "a_err": float("nan"),
+                         "error": " ".join(str(e).split())[:300]}
+
+    # Two more spread-out blocks; ~10 s apart, widening the sampled drift
+    # horizon to the whole bench runtime (4x/16x blocks interleaved the
+    # same).
+    measure_block()
+    measure_block4()
+    measure_block16()
     time.sleep(10)
     measure_block()
     measure_block4()
+    measure_block16()
     per_iter_ms = (best[ITERS_HI] - best[ITERS_LO]) / (ITERS_HI - ITERS_LO) * 1e3
     if not four_x and all(np.isfinite(v) for v in best4.values()):
         per_iter_4x = ((best4[ITERS_HI] - best4[ITERS_LO])
                        / (ITERS_HI - ITERS_LO) * 1e3)
         four_x["icp_iteration_ms_f65536_r1024"] = round(per_iter_4x, 4)
+    if ("icp_16x_error" not in sixteen_x
+            and all(np.isfinite(v) for v in best16.values())):
+        per_iter_16x = ((best16[ITERS_HI] - best16[ITERS_LO])
+                        / (ITERS_HI - ITERS_LO) * 1e3)
+        sixteen_x["icp_iteration_ms_f262144_r2048"] = round(per_iter_16x, 4)
 
     out = {
         "metric": "icp_iteration_ms_f16384_r256",
@@ -385,8 +638,8 @@ def main() -> None:
         "accuracy_ok": bool(all(g["ok"] for g in gates.values())),
     }
     for name, g in gates.items():
-        if name == "sequence":
-            continue  # reported via the odometry_* keys below
+        if name in ("sequence", "sequence_rot", "slam"):
+            continue  # reported via the odometry_* / slam_* keys below
         if name == "wall":  # lateral/z split, not a transform error pair
             out["wall_lat_err_mm"] = round(g["t_err"], 4)
             out["wall_z_err_mm"] = round(g["a_err"], 4)
@@ -405,9 +658,12 @@ def main() -> None:
         if "k" in gates.get(name, {}):
             out[f"{name}_k"] = gates[name]["k"]
     out.update(four_x)
+    out.update(sixteen_x)
     out.update(seq)
-    if "error" in gates.get("sequence", {}):
-        out["sequence_error"] = gates["sequence"]["error"]
+    out.update(slam)
+    for name in ("sequence", "sequence_rot", "slam"):
+        if "error" in gates.get(name, {}):
+            out[f"{name}_error"] = gates[name]["error"]
     print(json.dumps(out))
 
 

@@ -19,35 +19,11 @@ import numpy as np
 
 
 def surface_pair(m: int, seed_a: int = 1, seed_b: int = 2):
-    """Two independent samplings of the analytic wavy surface + a known
-    rigid transform applied to the second. Returns (fixed, moving, q, t):
-    moving = T^{-1}(sample_b) in the moving frame, so register(fixed,
-    moving) should recover (q, t)."""
-    def sample(seed):
-        rng = np.random.default_rng(seed)
-        u = rng.uniform(-400, 400, m).astype(np.float32)
-        v = rng.uniform(-300, 300, m).astype(np.float32)
-        z = 1500 + 80 * np.sin(u / 90) + 60 * np.cos(v / 70)
-        cloud = np.ones((m, 8), np.float32)
-        cloud[:, :3] = np.stack([u, v, z], -1)
-        cloud[:, 4] = 0.5 + 0.5 * np.sin(u / 40)
-        cloud[:, 5] = 0.5 + 0.5 * np.cos(v / 55)
-        cloud[:, 6] = np.clip((z - 1350) / 300.0, 0, 1)
-        return cloud
+    """Shared generator (icp_tpu.sensors.synthetic.wavy_surface_pair) —
+    the same pair bench.py's scaled-shape accuracy gates register."""
+    from icp_tpu.sensors.synthetic import wavy_surface_pair
 
-    fixed = sample(seed_a)
-    world_b = sample(seed_b)
-    ang = 0.004  # rad about y, like the flagship accuracy gates
-    q = np.array([0, np.sin(ang), 0, np.cos(ang)], np.float32)
-    t = np.array([10.0, -6.0, 8.0], np.float32)
-    # moving-frame coordinates: p_m = R^T (p_w - t)
-    R = np.array([
-        [1 - 2 * q[1] ** 2, 0, 2 * q[1] * q[3]],
-        [0, 1, 0],
-        [-2 * q[1] * q[3], 0, 1 - 2 * q[1] ** 2]], np.float32)
-    moving = world_b.copy()
-    moving[:, :3] = (world_b[:, :3] - t) @ R
-    return fixed, moving, q, t
+    return wavy_surface_pair(m, seed_a, seed_b)
 
 
 def main():

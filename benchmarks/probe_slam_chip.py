@@ -1,0 +1,141 @@
+"""On-chip SLAM capstone probe: a closed-loop trajectory over the REAL
+terrain surface (sensors/realdata.py) driven through SlamEngine — odometry,
+grid-gated loop-closure detection, batched verification, and the pose-graph
+backend — all on the TPU. Calibrates bench.py's ``slam`` gate (VERDICT r4
+item 4: closure precision/recall + ATE before/after optimization at >= 200
+keyframes, driver-visible).
+
+Trajectory: a full circle in the image plane (radius ``R_MM``) at constant
+orientation, so the tail keyframes revisit the head's neighborhood —
+guaranteed ground-truth closures, known poses for precision/recall, and
+accumulated odometry drift for the backend to close.
+
+Run:  PYTHONPATH=/root/repo:$PYTHONPATH python benchmarks/probe_slam_chip.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+N_FRAMES = 220
+R_MM = 120.0
+M_LMS = 1024
+
+
+def loop_poses(n: int, radius: float):
+    """Closed circle in the camera's x-y (image) plane, identity rotation."""
+    out = []
+    for i in range(n):
+        a = 2 * np.pi * i / n
+        t = np.array([radius * np.cos(a) - radius, radius * np.sin(a), 0.0],
+                     np.float32)
+        q = np.array([0.0, 0.0, 0.0, 1.0], np.float32)
+        out.append((q, t))
+    return out
+
+
+def run_slam(n_frames: int = N_FRAMES, m: int = M_LMS, radius: float = R_MM):
+    import jax
+    import jax.numpy as jnp
+
+    from icp_tpu import ICPConfig, ICPParams, Objective
+    from icp_tpu.icp.quaternion import qangle_deg, qconj, qmul
+    from icp_tpu.ops.sampling import get_landmarks
+    from icp_tpu.sensors import realdata
+    from icp_tpu.slam import se3
+    from icp_tpu.slam.mapping import LoopClosureConfig, SlamEngine
+    from icp_tpu.slam.odometry import KeyframePolicy
+
+    poses = loop_poses(n_frames, radius)
+    surface = realdata.terrain_surface()
+    side = int(m ** 0.5)
+    assert side * side == m and 128 % side == 0, m
+    stride = 128 // side
+
+    def sample(frame):
+        """Organized sub-grid of the 128x128 landmark grid (keeps grid
+        normals meaningful for GICP at reduced m)."""
+        lm = get_landmarks(jnp.asarray(frame.reshape(-1, 8)))
+        return lm.reshape(128, 128, 8)[::stride, ::stride].reshape(m, 8)
+
+    t0 = time.time()
+    frames = [sample(f)
+              for f in realdata.terrain_frames(iter(poses), surface=surface)]
+    t_render = time.time() - t0
+
+    eng = SlamEngine(
+        params=ICPParams(alpha=2e2),
+        config=ICPConfig(m=m, n_r=64, estimate_scale=False,
+                         objective=Objective.GICP, max_iterations=8),
+        policy=KeyframePolicy(max_gap=1),
+        loop_config=LoopClosureConfig(max_distance=25.0, max_angle_deg=20.0,
+                                      min_gap=max(10, min(50, n_frames // 4))),
+    )
+    t0 = time.time()
+    for fr in frames:
+        eng.process_frame(fr)
+    t_frames = time.time() - t0
+
+    n_kf = len(eng.map.keyframes)
+    ts_gt = np.stack([t for _, t in poses])
+
+    # Closure precision: accepted closure measurement vs GT relative pose.
+    closure_set = set(eng.map.loop_closures)
+    correct = 0
+    for (i, j), meas in zip(eng.map.edges, eng.map.measurements):
+        if (i, j) not in closure_set:
+            continue
+        gi = eng.map.keyframes[i].index
+        gj = eng.map.keyframes[j].index
+        gt_rel = se3.relative(
+            se3.Pose(jnp.asarray(poses[gi][0]), jnp.asarray(poses[gi][1])),
+            se3.Pose(jnp.asarray(poses[gj][0]), jnp.asarray(poses[gj][1])))
+        if (float(jnp.linalg.norm(meas.t - gt_rel.t)) < 6.0
+                and float(qangle_deg(qmul(meas.q, qconj(gt_rel.q)))) < 1.5):
+            correct += 1
+    precision = correct / max(len(eng.map.loop_closures), 1)
+
+    # Recall vs GT pairs actually within closure range across the gap.
+    true_pairs = {(i, j) for j in range(n_frames)
+                  for i in range(j - eng.loop_config.min_gap)
+                  if np.linalg.norm(ts_gt[j] - ts_gt[i]) < 20.0}
+    kf_pairs = {(eng.map.keyframes[i].index, eng.map.keyframes[j].index)
+                for (i, j) in eng.map.loop_closures}
+    recall = (sum(1 for p in true_pairs if p in kf_pairs)
+              / max(len(true_pairs), 1))
+
+    def kf_ate():
+        errs = [np.linalg.norm(np.asarray(kf.pose.t)
+                               - (ts_gt[kf.index] - ts_gt[0]))
+                for kf in eng.map.keyframes]
+        return float(np.sqrt(np.mean(np.square(errs))))
+
+    ate_before = kf_ate()
+    t0 = time.time()
+    eng.optimize_map(iterations=10)
+    t_opt = time.time() - t0
+    ate_after = kf_ate()
+
+    return {
+        "slam_keyframes": n_kf,
+        "slam_closures": len(eng.map.loop_closures),
+        "slam_pairs_verified": eng.n_pairs_verified,
+        "slam_closure_precision": round(precision, 4),
+        "slam_closure_recall": round(recall, 4),
+        "slam_ate_before_mm": round(ate_before, 3),
+        "slam_ate_after_mm": round(ate_after, 3),
+        "t_render_s": round(t_render, 1),
+        "t_frames_s": round(t_frames, 1),
+        "t_opt_s": round(t_opt, 1),
+    }
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else N_FRAMES
+    out = run_slam(n)
+    print(json.dumps(out))

@@ -186,3 +186,44 @@ def orbit_trajectory(n_frames: int, radius_mm: float = 60.0,
         )
         poses.append(CameraPose(jnp.asarray(q), jnp.asarray(t)))
     return poses
+
+
+def wavy_surface_pair(m: int, seed_a: int = 1, seed_b: int = 2,
+                      ang_rad: float = 0.004,
+                      t_mm: tuple = (10.0, -6.0, 8.0)):
+    """Ground-truth registration pair at arbitrary m (scaled-shape gates).
+
+    Two INDEPENDENT random samplings of an analytic wavy surface (each
+    cloud its own sample lattice, so correspondences are approximate — a
+    real registration problem, unlike a point-for-point transformed copy)
+    plus a known rigid transform applied to the second. Returns numpy
+    ``(fixed, moving, q_gt, t_gt)`` with moving in the moving frame
+    (p_m = R^T (p_w - t)), so ``register(fixed, moving)`` should recover
+    ``(q_gt, t_gt)`` — the convention of the reference's frame-grabber
+    pairs (data/README.md) and of bench.py's rendered gates.
+    """
+    import numpy as np
+
+    def sample(seed):
+        rng = np.random.default_rng(seed)
+        u = rng.uniform(-400, 400, m).astype(np.float32)
+        v = rng.uniform(-300, 300, m).astype(np.float32)
+        z = 1500 + 80 * np.sin(u / 90) + 60 * np.cos(v / 70)
+        cloud = np.ones((m, 8), np.float32)
+        cloud[:, :3] = np.stack([u, v, z], -1)
+        cloud[:, 4] = 0.5 + 0.5 * np.sin(u / 40)
+        cloud[:, 5] = 0.5 + 0.5 * np.cos(v / 55)
+        cloud[:, 6] = np.clip((z - 1350) / 300.0, 0, 1)
+        return cloud
+
+    fixed = sample(seed_a)
+    world_b = sample(seed_b)
+    q = np.array([0, np.sin(ang_rad), 0, np.cos(ang_rad)], np.float32)
+    t = np.asarray(t_mm, np.float32)
+    R = np.array([
+        [1 - 2 * q[1] ** 2, 0, 2 * q[1] * q[3]],
+        [0, 1, 0],
+        [-2 * q[1] * q[3], 0, 1 - 2 * q[1] ** 2]], np.float32)
+    moving = world_b.copy()
+    moving[:, :3] = (world_b[:, :3] - t) @ R
+    return fixed, moving, q, t
