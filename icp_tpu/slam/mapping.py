@@ -49,6 +49,13 @@ class LoopClosureConfig:
     max_angle_deg: float = 15.0
     min_gap: int = 3
     max_iterations_accept: int = 39
+    # Pad every verification batch UP to this size (still pow2-rounded
+    # above it). 0 keeps pure pow2 padding. On a dispatch-expensive or
+    # compile-expensive backend (the tunneled TPU), a single fixed batch
+    # size means ONE vmapped-register compile for the whole session
+    # instead of log2-many; the padded lanes repeat a real candidate and
+    # cost microseconds of device time each.
+    verify_pad_to: int = 0
 
 
 @dataclass
@@ -263,7 +270,8 @@ class SlamEngine:
             return
         # Pad to the next power of two (bounds distinct vmap compiles to
         # log2(K) graphs); padding lanes repeat the last candidate.
-        b = 1 << (len(cand) - 1).bit_length()
+        # verify_pad_to >= batch collapses that to ONE compiled graph.
+        b = max(1 << (len(cand) - 1).bit_length(), lc.verify_pad_to)
         padded = cand + [cand[-1]] * (b - len(cand))
         fixed_stack = jnp.stack(
             [self.map.keyframes[j].landmarks for j in padded])

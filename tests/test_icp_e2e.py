@@ -11,6 +11,7 @@ from icp_tpu import (
     Correspondence,
     ICPConfig,
     ICPParams,
+    Objective,
     RotationMode,
     Weighting,
     register,
@@ -153,3 +154,20 @@ def test_run_respects_max_iterations(rng):
                        translation_threshold=0.0).as_f32()  # never converge
     state = register(jnp.asarray(fixed), jnp.asarray(moving), params, config)
     assert int(state.k) == 3
+
+
+def test_wavy_surface_pair_contract(rng):
+    """The shared scaled-gate generator (sensors.synthetic.wavy_surface_pair,
+    bench.py's 4x/16x/lidar accuracy gates) follows the register()
+    convention: two independent samplings under a known rigid transform,
+    recovered by PLANE registration to well under the gate bounds."""
+    from icp_tpu.icp.quaternion import qangle_deg, qconj, qmul
+    from icp_tpu.sensors.synthetic import wavy_surface_pair
+
+    fixed, moving, q_gt, t_gt = wavy_surface_pair(8192)
+    config = ICPConfig(m=8192, n_r=128, objective=Objective.PLANE,
+                       normal_mode="knn", estimate_scale=False)
+    st = register(jnp.asarray(fixed), jnp.asarray(moving),
+                  ICPParams(alpha=2e2).as_f32(), config)
+    assert np.linalg.norm(np.asarray(st.t) - t_gt) < 0.5
+    assert float(qangle_deg(qmul(st.q, qconj(jnp.asarray(q_gt))))) < 0.05

@@ -228,3 +228,21 @@ def test_candidate_gate_matches_bruteforce(rng):
         if d <= lc.max_distance and ang <= lc.max_angle_deg:
             want.append(j)
     assert got == want, (got, want)
+
+
+def test_verify_pad_to_single_compile(rng):
+    """verify_pad_to collapses closure verification to ONE vmapped batch
+    size (one compile for the whole session) regardless of how the
+    candidate count ramps — the knob the on-chip bench gate uses."""
+    world = _world_cloud(rng)
+    eng = SlamEngine(
+        params=ICPParams(alpha=2e2),
+        config=ICPConfig(m=M, n_r=16, estimate_scale=False),
+        policy=KeyframePolicy(max_gap=1),
+        loop_config=LoopClosureConfig(max_distance=30.0, max_angle_deg=30.0,
+                                      min_gap=5, verify_pad_to=8),
+    )
+    for q, t in _loop_poses(40):
+        eng.process_frame(_camera_frame(world, q, t))
+    assert len(eng.map.loop_closures) > 0
+    assert set(eng._verify_fns) == {8}, sorted(eng._verify_fns)
