@@ -175,11 +175,16 @@ def profile_shape(m, n_r, n_hi, n_lo):
 
 
 def main():
+    import sys
+
+    shapes = SHAPES
+    if len(sys.argv) > 2:  # e.g. `roofline.py 262144 2048` for one shape
+        shapes = [(int(sys.argv[1]), int(sys.argv[2]))]
     rows = []
     total_rows = []
-    for m, n_r in SHAPES:
+    for m, n_r in shapes:
         # Loop lengths scale down with the shape to bound runtime.
-        n_hi, n_lo = (120, 24) if m <= 65536 else (40, 8)
+        n_hi, n_lo = (120, 24) if m <= 16384 else ((60, 12) if m <= 65536 else (20, 4))
         times, models, (cq, cb) = profile_shape(m, n_r, n_hi, n_lo)
         for stage in ("rep_assign", "grouping", "search_moments"):
             t = times[stage]

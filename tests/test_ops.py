@@ -202,3 +202,15 @@ def test_scan_ops(rng):
     np.testing.assert_array_equal(inc, np.cumsum(x, 1))
     ref_exc = np.cumsum(x, 1) - x
     np.testing.assert_array_equal(exc, ref_exc)
+
+
+def test_get_landmarks_numpy_slice_parity(rng):
+    """The reference sampling formula (kernels/icp_kernels.cl:62-76,
+    landmark[r,l] = cloud[49+3r, 65+4l]) as a host-side numpy strided
+    slice is bit-identical to ops.sampling.get_landmarks — bench.py's
+    SLAM gate samples keyframes host-side to keep full frames off the
+    tunnel."""
+    cloud = rng.uniform(0, 1, (480, 640, 8)).astype(np.float32)
+    a = np.asarray(sampling.get_landmarks(jnp.asarray(cloud.reshape(-1, 8))))
+    b = cloud[49:49 + 384:3, 65:65 + 512:4].reshape(16384, 8)
+    assert np.array_equal(a, b)
